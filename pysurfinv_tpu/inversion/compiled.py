@@ -1,0 +1,285 @@
+"""Compile a Model1D into pure JAX functions of the Brownian vector.
+
+The reference rebuilds Python layer objects for every MCMC proposal
+(``/root/reference/models.py:192-219`` + ``layers.py:64-79``), costing as
+much as the physics.  Here a model's *structure* (layer types, fine-grid
+sizes, group layout, which parameters are stochastic) is frozen once,
+and everything value-dependent becomes three pure functions
+
+    build_profile(theta) -> padded (h, vp, vs, rho, qsinv) layer stack
+    isgood(theta)        -> bool   (vectorised prior mask)
+    forward(theta)       -> c(P,)  (batched dispersion solve)
+
+that jit, vmap (chains), and shard (grid points) cleanly.
+
+Frozen-structure deviations from the reference (documented, statistical
+impact negligible):
+  * per-layer fine-grid counts are locked to the initial model's values
+    (the reference adapts them to the current H, layers.py:161-173);
+  * layers never vanish mid-chain (the reference drops layers whose
+    current H < 0.01, models.py:80);
+  * the hybrid layer's melt-onset spline merge uses a Hermite bridge
+    (see models/layers.py).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pysurfinv_tpu.models.brownian import BrownianVar
+from pysurfinv_tpu.models.layers import OceanMantleHybrid
+from pysurfinv_tpu.ops.dispersion import SurfConfig, surf_forward
+
+
+class BrownianSpec(NamedTuple):
+    """Flattened stochastic-parameter metadata (device arrays)."""
+
+    theta0: jnp.ndarray
+    vmin: jnp.ndarray
+    vmax: jnp.ndarray
+    step: jnp.ndarray
+
+
+def _walk_brownians(layers):
+    """Yield (layer_idx, key, list_idx_or_None, var) in _brownians order
+    (models.py:240-253)."""
+    for li, layer in enumerate(layers):
+        for k, v in layer.parm.items():
+            if type(v) is list:
+                for i, e in enumerate(v):
+                    if isinstance(e, BrownianVar):
+                        yield li, k, i, e
+            elif isinstance(v, BrownianVar):
+                yield li, k, None, v
+
+
+class CompiledModel:
+    """Freeze a Model1D's structure; expose theta-pure JAX functions."""
+
+    def __init__(self, model, pad_align=8):
+        self.model = model.copy()
+        self.info = dict(model.info)
+        layers = self.model.layers
+        self._slots = list(_walk_brownians(layers))
+        bs = [s[3] for s in self._slots]
+        self.spec = BrownianSpec(
+            theta0=jnp.array([float(b) for b in bs]),
+            vmin=jnp.array([b.vmin for b in bs]),
+            vmax=jnp.array([b.vmax for b in bs]),
+            step=jnp.array([b.step for b in bs]),
+        )
+        self.ntheta = len(bs)
+
+        # ---- freeze structure off the initial model --------------------
+        self._use_ref = bool(self.info.get("refLayer", False))
+        self._layers = list(layers) + (
+            [self.model._refLayer] if self._use_ref else [])
+        self._n_main = len(layers)
+
+        # fine-grid sizes + static group layout from one host build
+        self._nfine = []
+        grp_nodes, name_nodes = [], []
+        ctx = _HostCtx(self.info)
+        for layer in self._layers:
+            nf = self._static_nfine(layer, ctx)
+            self._nfine.append(nf)
+            out = layer.seisPropGrids(layersAbove=ctx.layersAbove(),
+                                      modelInfo=self.info, nFine=nf)
+            ctx.push(layer, [np.asarray(x) for x in out])
+            npts = len(np.asarray(out[0]))
+            grp_nodes += [layer.prop["Group"]] * npts
+            name_nodes += [layer.prop["LayerName"]] * npts
+        self.grp_nodes = np.array(grp_nodes)
+        self.name_nodes = np.array(name_nodes)
+        # node count excluding the appended reference layer (isgood uses
+        # refLayer=False grids, models.py:575)
+        self._n_nodes_main = int(
+            sum(len(np.asarray(
+                layer.seisPropGrids(layersAbove=None, modelInfo=None,
+                                    nFine=nf)[0]) if False else 0)
+                for layer, nf in zip([], [])))  # placeholder, set below
+        counts = []
+        for layer, nf in zip(self._layers, self._nfine):
+            counts.append(nf + 1)
+        self._node_counts = counts
+        self._n_nodes_main = int(sum(counts[: self._n_main]))
+        self._n_nodes = int(sum(counts))
+
+        # padded layer-stack length for the solver
+        n_rows = self._n_nodes - 1  # midpoints across the full stack
+        self.L = int(-(-(n_rows) // pad_align) * pad_align)
+        self.periods = None  # set by bind_obs / forward call
+
+        self._grp_ids_main = _codes(self.grp_nodes[: self._n_nodes_main])
+        self._cfg = SurfConfig()
+
+    @staticmethod
+    def _static_nfine(layer, ctx):
+        try:
+            return layer._nFineLayers(layersAbove=ctx.layersAbove(),
+                                      modelInfo=ctx.info)
+        except (NotImplementedError, AttributeError, TypeError):
+            return 1
+
+    # ------------------------------------------------------------------
+    def _substitute(self, theta):
+        """Copies of layer parms with BrownianVars replaced by theta[i]."""
+        parms = [dict(l.parm) for l in self._layers]
+        # shallow-copy lists so we can replace elements
+        for p in parms:
+            for k, v in list(p.items()):
+                if type(v) is list:
+                    p[k] = list(v)
+        for i, (li, k, ei, _) in enumerate(self._slots):
+            if ei is None:
+                parms[li][k] = theta[i]
+            else:
+                parms[li][k][ei] = theta[i]
+        return parms
+
+    def build_grids(self, theta):
+        """theta -> concatenated node grids (z, vs, vp, rho, qs, qp)."""
+        parms = self._substitute(theta)
+        dtype = theta.dtype
+        z_parts, parts = [], {k: [] for k in ("vs", "vp", "rho", "qs", "qp")}
+        z_last = jnp.asarray(-max(self.info.get("topo", 0) or 0, 0),
+                             dtype=dtype)
+        last = {k: jnp.zeros((), dtype) for k in parts}
+        crustH = jnp.zeros((), dtype)
+        for layer, parm, nf in zip(self._layers, parms, self._nfine):
+            lay = layer.copy()
+            lay.parm = parm
+            layersAbove = [jnp.array([z_last])] + \
+                [jnp.array([last[k]]) for k in ("vs", "vp", "rho", "qs", "qp")] \
+                + [None, None]
+            kwargs = dict(layersAbove=layersAbove, modelInfo=self.info,
+                          nFine=nf)
+            if isinstance(lay, OceanMantleHybrid):
+                kwargs["crustH"] = crustH
+            z1, vs1, vp1, rho1, qs1, qp1 = lay.seisPropGrids(**kwargs)
+            z_abs = jnp.asarray(z1, dtype) + z_last
+            z_parts.append(z_abs)
+            for k, arr in zip(("vs", "vp", "rho", "qs", "qp"),
+                              (vs1, vp1, rho1, qs1, qp1)):
+                arr = jnp.asarray(arr, dtype) * jnp.ones_like(z_abs)
+                parts[k].append(arr)
+                last[k] = arr[-1]
+            if layer.prop["Group"] == "crust":
+                crustH = crustH + (z_abs[-1] - z_last)
+            z_last = z_abs[-1]
+        z = jnp.concatenate(z_parts)
+        out = {k: jnp.concatenate(v) for k, v in parts.items()}
+        return z, out["vs"], out["vp"], out["rho"], out["qs"], out["qp"]
+
+    def build_profile(self, theta):
+        """theta -> padded (h, vp, vs, rho, qsinv, nlay) layer stack.
+
+        Midpoint averaging as in models.py:93-102; interface rows (h = 0)
+        are exact identities in the secular recursion, so no compaction
+        is needed.
+        """
+        z, vs, vp, rho, qs, qp = self.build_grids(theta)
+        h = jnp.diff(z)
+        mid = lambda x: 0.5 * (x[1:] + x[:-1])  # noqa: E731
+        vs, vp, rho, qs = mid(vs), mid(vp), mid(rho), mid(qs)
+        # thin rows -> identity (reference drops h <= 0.01, models.py:102)
+        thin = h <= 0.01
+        h = jnp.where(thin, 0.0, h)
+        pad = self.L - h.shape[0]
+        hs = lambda x: jnp.concatenate(  # noqa: E731
+            [x, jnp.full(pad, x[-1], x.dtype)])
+        h_p = jnp.concatenate([h, jnp.zeros(pad, h.dtype)])
+        qsinv = 1.0 / qs
+        nlay = h.shape[0]  # static: halfspace is the last real row
+        return h_p, hs(vp), hs(vs), hs(rho), hs(qsinv), nlay
+
+    # ------------------------------------------------------------------
+    def isgood(self, theta):
+        """Vectorised prior (CascadiaOcean.isgood, models.py:571-677)."""
+        from pysurfinv_tpu.inversion import priors as P
+
+        n = self._n_nodes_main
+        z, vs, *_ = self.build_grids(theta)
+        z, vs = z[:n], vs[:n]
+        grp = jnp.asarray(self._grp_ids_main)
+        sed = jnp.asarray(self.grp_nodes[:n] == "sediment")
+        crust = jnp.asarray(self.grp_nodes[:n] == "crust")
+        mantle = jnp.asarray(self.grp_nodes[:n] == "mantle")
+
+        checks = [
+            jnp.all(jnp.where(sed, vs >= 0.2, True)),
+            P.jnp_group_jumps_positive(vs, grp),
+            P.jnp_mono_increase(vs, sed),
+            P.jnp_mono_increase(vs, crust),
+            (vs[-1] - vs[-2]) / jnp.maximum(z[-1] - z[-2], 1e-9) > 0,
+        ]
+        model_type = type(self.model).__name__
+        if model_type in ("CascadiaPrism", "CascadiaContinent"):
+            checks.append(jnp.all(vs < 4.9))
+        if model_type in ("CascadiaOcean",) or "Ocean" in model_type:
+            vsM = jnp.where(mantle, vs, 0.0)
+            nM = jnp.sum(mantle)
+            meanM = jnp.sum(vsM) / jnp.maximum(nM, 1)
+            checks.append(P.jnp_local_extrema_oscillation(
+                vs, mantle, 0.1 * meanM))
+            checks.append(P.jnp_no_local_max(vs, mantle))
+            # slope prior + CWT oscillation on the mantle sub-grid
+            i0 = int(np.argmax(self.grp_nodes[:n] == "mantle"))
+            zM, vM = z[i0:n], vs[i0:n]
+            slope = jnp.diff(vM) / jnp.maximum(jnp.diff(zM), 1e-9)
+            checks.append(slope.min() >= slope[0] * 1.5)
+            checks.append(P.jnp_cwt_oscillation(
+                vM, zM, jnp.ones(vM.shape[0], bool), limit=0.3))
+        ok = checks[0]
+        for c in checks[1:]:
+            ok = ok & c
+        return ok
+
+    # ------------------------------------------------------------------
+    def forward(self, theta, periods, wave="rayleigh", cfg=None):
+        """theta -> fundamental-mode phase velocities (P,) (0 = failed)."""
+        cfg = cfg or self._cfg
+        h, vp, vs, rho, qsinv, nlay = self.build_profile(theta)
+        c, u, ok = surf_forward(h, vp, vs, rho, qsinv, periods, nlay,
+                                wave=wave, cfg=cfg._replace(nmodes=1))
+        return jnp.where(ok[:, 0], c[:, 0], 0.0)
+
+
+class _HostCtx:
+    """Accumulates layersAbove context for the host structure pass."""
+
+    def __init__(self, info):
+        self.info = info
+        self.z = [-max(info.get("topo", 0) or 0, 0)]
+        self.cols = {k: [0.0] for k in ("vs", "vp", "rho", "qs", "qp")}
+        self.grp, self.names = [], []
+
+    def layersAbove(self):
+        return [np.array(self.z)] + \
+            [np.array(self.cols[k]) for k in ("vs", "vp", "rho", "qs", "qp")] \
+            + [list(self.grp), list(self.names)]
+
+    def push(self, layer, out):
+        z1 = np.asarray(out[0], dtype=float) + self.z[-1]
+        self.z += list(z1)
+        for k, arr in zip(("vs", "vp", "rho", "qs", "qp"), out[1:]):
+            self.cols[k] += list(np.asarray(arr, dtype=float)
+                                 * np.ones_like(z1))
+        self.grp += [layer.prop["Group"]] * len(z1)
+        self.names += [layer.prop["LayerName"]] * len(z1)
+
+
+def _codes(strings):
+    _, inv = np.unique(strings, return_inverse=True)
+    # consecutive-run codes so that boundaries = value changes
+    codes = np.zeros(len(strings), dtype=np.int32)
+    c = 0
+    for i in range(1, len(strings)):
+        if strings[i] != strings[i - 1]:
+            c += 1
+        codes[i] = c
+    return codes

@@ -1,0 +1,440 @@
+"""Single-point MCMC inversion drivers and posterior analysis.
+
+Capability spec from ``/root/reference/point.py``: the Point observation
+container + Metropolis MCMC (host, reference-exact), the multiprocess
+variant re-imagined as vmapped on-device chains (``MCinvMP``), and
+PostPoint posterior statistics over the npz chain format.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import time
+
+import numpy as np
+
+from pysurfinv_tpu.models.model1d import MCinv as MCinvModel, buildModel1D
+
+
+def _soft_cap(chiSqr):
+    """chi^2 soft cap above 50 (point.py:29)."""
+    return chiSqr if chiSqr < 50 else np.sqrt(chiSqr * 50.0)
+
+
+class Point:
+    """Observed dispersion + a starting model (point.py:8-14)."""
+
+    def __init__(self, setting=None, localInfo=None, modelTypeCustom=None,
+                 layerClassCustom=None, periods=(), vels=(), uncers=()):
+        self.initMod = buildModel1D(setting, localInfo or {},
+                                    modelTypeCustom=modelTypeCustom,
+                                    layerClassCustom=layerClassCustom or {})
+        self.obs = {"T": periods, "c": vels, "uncer": uncers}
+        self.pid = "test"
+
+    # ---- misfit (point.py:15-31) ---------------------------------------
+    def misfit(self, model=None):
+        model = self.initMod if model is None else model
+        T = self.obs["T"]
+        cP = model.forward(periods=T)
+        if cP is None:
+            return 88888, 88888, 0
+        cO = self.obs["c"]
+        if not np.ma.isMaskedArray(cO):
+            cO = np.ma.masked_array(cO)
+        uncer = self.obs["uncer"]
+        N = cO.count()
+        chiSqr = (((cO - cP) / uncer) ** 2).sum()
+        misfit = np.sqrt(chiSqr / N)
+        chiSqr = _soft_cap(chiSqr)
+        return misfit, chiSqr, np.exp(-0.5 * chiSqr)
+
+    # ---- host-sequential reference MCMC (point.py:32-89) ----------------
+    def MCinv(self, outdir="MCtest", pid=None, runN=50000, chainL=1000,
+              init=True, seed=None, verbose=False, priori=False,
+              isgood=None):
+        def accept(chiSqr0, chiSqr1):
+            if chiSqr1 < chiSqr0:
+                return True
+            return random.random() > 1 - np.exp(-(chiSqr1 - chiSqr0) / 2)
+
+        if isgood is None:
+            isgood = lambda m: m.isgood()  # noqa: E731
+        random.seed(seed)
+        pid = self.pid if pid is None else pid
+        timeStamp = time.time()
+        mcTrack = [0] * runN
+        mod0 = mod1 = None
+        for i in range(runN):
+            if i % chainL == 0:
+                if init:
+                    mod0 = self.initMod.copy()
+                    init = False
+                    if not isgood(mod0):
+                        mod0 = mod0.perturb(isgood)
+                else:
+                    mod0 = self.initMod.reset()
+                    if verbose is True:
+                        print(f"{i + 1}/{runN} Time cost:"
+                              f"{time.time() - timeStamp:.2f} ")
+                misfit0, chiSqr0, L0 = self.misfit(mod0)
+                mod0._dump(i, mcTrack, [misfit0, L0, 1])
+            else:
+                mod1 = mod0.perturb(isgood)
+                if priori:
+                    mod1._dump(i, mcTrack, [0, 1, 1])
+                    mod0 = mod1
+                    continue
+                misfit1, chiSqr1, L1 = self.misfit(mod1)
+                if accept(chiSqr0, chiSqr1):
+                    mod1._dump(i, mcTrack, [misfit1, L1, 1])
+                    mod0, misfit0, chiSqr0, L0 = mod1, misfit1, chiSqr1, L1
+                else:
+                    mod1._dump(i, mcTrack, [misfit1, L1, 0])
+        self._save_npz(outdir, pid, np.array(mcTrack), chainL)
+        return mod1
+
+    # ---- vmapped on-device MCMC (replaces mp.Pool, point.py:90-125) -----
+    def MCinvMP(self, outdir="MCtest", pid=None, runN=50000, chainL=1000,
+                nprocess=None, seed=42, priori=False, isgood=None,
+                verbose=True, wave="rayleigh"):
+        """All runN//chainL chain segments as vmapped lanes on one chip.
+
+        ``nprocess`` is accepted for API compatibility and ignored — the
+        parallelism unit is a vmap lane, not a process.
+        """
+        import jax
+        import jax.numpy as jnp
+        from pysurfinv_tpu.inversion.compiled import CompiledModel
+        from pysurfinv_tpu.inversion.mcmc import (ChainConfig,
+                                                  make_chain_kernel,
+                                                  run_chains)
+
+        if priori and outdir.split("_")[-1] != "priori":
+            outdir = "_".join((outdir, "priori"))
+        pid = self.pid if pid is None else pid
+        if verbose:
+            print(f"Running MC inversion: {pid}")
+        timeStamp = time.time()
+
+        cm = CompiledModel(self.initMod)
+        periods = jnp.asarray(np.asarray(self.obs["T"], dtype=float))
+        chi_sqr = self._compiled_chi_sqr(cm, periods, wave)
+        cfg = ChainConfig(chain_len=chainL, priori=priori)
+        kernel = make_chain_kernel(cm.isgood, chi_sqr, cm.spec, cfg)
+
+        n_chains = runN // chainL
+        key = jax.random.PRNGKey(seed)
+        tracks = run_chains(kernel, key, cm.spec.theta0, n_chains)
+        mcTrack = np.asarray(tracks).reshape(runN, -1)
+        self._save_npz(outdir, pid, mcTrack, chainL)
+        if verbose:
+            print(f"Time cost:{time.time() - timeStamp:.2f} ")
+
+    def _compiled_chi_sqr(self, cm, periods, wave):
+        import jax.numpy as jnp
+
+        cO = np.ma.masked_array(np.asarray(self.obs["c"], dtype=float))
+        mask = ~np.ma.getmaskarray(cO)
+        obs_c = jnp.asarray(np.where(mask, cO.filled(0.0), 0.0))
+        obs_m = jnp.asarray(mask)
+        uncer = jnp.asarray(np.asarray(self.obs["uncer"], dtype=float))
+        N = int(mask.sum())
+
+        def chi_sqr(theta):
+            cP = cm.forward(theta, periods, wave=wave)
+            ok = jnp.all(cP >= 0.01)
+            chi = jnp.sum(jnp.where(obs_m, ((obs_c - cP) / uncer) ** 2, 0.0))
+            misfit = jnp.sqrt(chi / N)
+            chi = jnp.where(chi < 50, chi, jnp.sqrt(chi * 50.0))
+            L = jnp.exp(-0.5 * chi)
+            return (jnp.where(ok, misfit, 88888.0),
+                    jnp.where(ok, chi, 88888.0),
+                    jnp.where(ok, L, 0.0))
+
+        return chi_sqr
+
+    def _save_npz(self, outdir, pid, mcTrack, chainL):
+        os.makedirs(outdir, exist_ok=True)
+        np.savez_compressed(
+            f"{outdir}/{pid}.npz", mcTrack=mcTrack,
+            setting=dict(self.initMod.toYML()), obs=self.obs,
+            invMeta={"pid": pid, "chainL": chainL})
+
+    def copy(self):
+        from copy import deepcopy
+        return deepcopy(self)
+
+
+class PointCascadia(Point):
+    """Band-split misfit: mean chi^2 of T <= 40 s and T > 40 s averaged
+    (point.py:336-366)."""
+
+    def misfit(self, model=None):
+        model = self.initMod if model is None else model
+        T = np.array(self.obs["T"])
+        cP = model.forward(periods=T)
+        if cP is None:
+            return 88888, 88888, 0
+        cO = self.obs["c"]
+        if not np.ma.isMaskedArray(cO):
+            cO = np.ma.masked_array(cO)
+        uncer = self.obs["uncer"]
+        N = cO.count()
+        bias = (cO - cP) / uncer
+        b1, b2 = bias[T <= 40], bias[T > 40]
+        if not np.all(b1.mask) and not np.all(b2.mask):
+            chiSqr = ((b1**2).mean() + (b2**2).mean()) / 2 * N
+        elif np.all(b1.mask):
+            chiSqr = (b2**2).mean() * N
+        elif np.all(b2.mask):
+            chiSqr = (b1**2).mean() * N
+        else:
+            raise ValueError("All observations are masked???")
+        misfit = np.sqrt(chiSqr / N)
+        chiSqr = _soft_cap(chiSqr)
+        return misfit, chiSqr, np.exp(-0.5 * chiSqr)
+
+    def _compiled_chi_sqr(self, cm, periods, wave):
+        import jax.numpy as jnp
+
+        T = np.asarray(self.obs["T"], dtype=float)
+        cO = np.ma.masked_array(np.asarray(self.obs["c"], dtype=float))
+        mask = ~np.ma.getmaskarray(cO) & np.ones(len(T), bool)
+        obs_c = jnp.asarray(np.where(mask, cO.filled(0.0), 0.0))
+        lo = jnp.asarray(mask & (T <= 40))
+        hi = jnp.asarray(mask & (T > 40))
+        uncer = jnp.asarray(np.asarray(self.obs["uncer"], dtype=float))
+        N = int(mask.sum())
+        n_lo, n_hi = int((mask & (T <= 40)).sum()), int((mask & (T > 40)).sum())
+
+        def chi_sqr(theta):
+            cP = cm.forward(theta, periods, wave=wave)
+            ok = jnp.all(cP >= 0.01)
+            b2 = ((obs_c - cP) / uncer) ** 2
+            if n_lo and n_hi:
+                chi = (jnp.sum(jnp.where(lo, b2, 0.0)) / n_lo
+                       + jnp.sum(jnp.where(hi, b2, 0.0)) / n_hi) / 2 * N
+            elif n_lo:
+                chi = jnp.sum(jnp.where(lo, b2, 0.0)) / n_lo * N
+            else:
+                chi = jnp.sum(jnp.where(hi, b2, 0.0)) / n_hi * N
+            misfit = jnp.sqrt(chi / N)
+            chi = jnp.where(chi < 50, chi, jnp.sqrt(chi * 50.0))
+            L = jnp.exp(-0.5 * chi)
+            return (jnp.where(ok, misfit, 88888.0),
+                    jnp.where(ok, chi, 88888.0),
+                    jnp.where(ok, L, 0.0))
+
+        return chi_sqr
+
+
+class PostPoint(Point):
+    """Posterior reconstruction from the npz chain format
+    (point.py:134-332)."""
+
+    def __init__(self, npzMC=None, npzPriori=None, modelTypeCustom=None,
+                 layerClassCustom=None, trueMarkovChain=True):
+        if npzMC is not None:
+            tmp = np.load(npzMC, allow_pickle=True)
+            self.MC = tmp["mcTrack"]
+            setting, self.obs = tmp["setting"][()], tmp["obs"][()]
+            self.invMeta = tmp["invMeta"][()]
+            self.initMod = buildModel1D(setting,
+                                        modelTypeCustom=modelTypeCustom,
+                                        layerClassCustom=layerClassCustom
+                                        or {})
+            self.N = self.MC.shape[0]
+            self.misfits = self.MC[:, 0]
+            self.Ls = self.MC[:, 1]
+            self.accepts = self.MC[:, 2]
+            self.MCparas = self.MC[:, 3:]
+            self.MCparas_pri = None
+
+            if trueMarkovChain:
+                # rejected rows inherit the last accepted parameters
+                # (point.py:152-157)
+                iAcc = 0
+                for i in range(self.N):
+                    if self.accepts[i]:
+                        iAcc = i
+                    else:
+                        self.MCparas[i, :] = self.MCparas[iAcc, :]
+
+            indMin = np.nanargmin(self.misfits)
+            self.minMod = self.initMod.copy()
+            self.minMod._loadMC(self.MCparas[indMin])
+            self.minMod.L = self.Ls[indMin]
+            self.minMod.misfit = self.misfits[indMin]
+
+            self.thres = self._thres(self.minMod.misfit)
+            self.accFinal = self.misfits < self.thres
+
+            self.avgMod = self.initMod.copy()
+            self.avgMod._loadMC(np.mean(self.MCparas[self.accFinal, :],
+                                        axis=0))
+            self.avgMod.misfit, _, self.avgMod.L = self.misfit(
+                model=self.avgMod)
+
+        if npzPriori is not None:
+            tmp = np.load(npzPriori, allow_pickle=True)["mcTrack"]
+            self.MCparas_pri = tmp[:, 3:]
+
+    @staticmethod
+    def _thres(minMisfit):
+        """Acceptance threshold (point.py:307-309)."""
+        return max(minMisfit * 2, minMisfit + 0.5)
+
+    def _model_generator(self, indSteps=None, priori=False):
+        mod = self.initMod.copy()
+        if indSteps is None:
+            indSteps = (np.where(self.accFinal)[0] if not priori
+                        else range(len(self.misfits)))
+        mcParas = self.MCparas if not priori else self.MCparas_pri
+        for ind in indSteps:
+            mod._loadMC(mcParas[ind, :])
+            yield mod.copy()
+
+    def _loadValues(self, indVars="all", zdeps=None, indSteps=None,
+                    priori=False):
+        if zdeps is not None:
+            vals = [mod.value(zdeps)
+                    for mod in self._model_generator(indSteps, priori=priori)]
+            return np.array(vals).T
+        indVars = (range(len(self.initMod._brownians()))
+                   if indVars == "all" else indVars)
+        mcParas = (self.MCparas[self.accFinal] if not priori
+                   else self.MCparas_pri[self.accFinal])
+        return np.array([mc[list(indVars)] for mc in mcParas]).T
+
+    # ---- plots (point.py:177-304) ---------------------------------------
+    def plotDisp(self, ax=None, ensemble=True):
+        import matplotlib.pyplot as plt
+        T, vel, uncer = self.obs["T"], self.obs["c"], self.obs["uncer"]
+        if ax is None:
+            plt.figure()
+        else:
+            plt.axes(ax)
+        if ensemble:
+            picks = random.choices(np.where(self.accFinal)[0],
+                                   k=min(500, int(self.accFinal.sum())))
+            for mod in self._model_generator(picks):
+                plt.plot(T, mod.forward(T), color="grey", lw=0.1, alpha=0.2)
+        plt.errorbar(T, vel, uncer, ls="None", color="k", capsize=3,
+                     capthick=2, elinewidth=2, label="Observation")
+        plt.plot(T, self.initMod.forward(T), label="Initial")
+        plt.plot(T, self.avgMod.forward(T), label="Avg accepted")
+        plt.plot(T, self.minMod.forward(T), label="Min misfit")
+        plt.legend()
+        plt.title("Dispersion")
+        return plt.gcf(), plt.gca()
+
+    def plotVsProfileGrid(self, allAccepted=False, ax=None):
+        import matplotlib.pyplot as plt
+        ax = self.initMod.plotProfileGrid(label="Initial", ax=ax)
+        k = self.N if allAccepted else 2000
+        picks = random.choices(np.where(self.accFinal)[0],
+                               k=min(k, int(self.accFinal.sum())))
+        for mod in self._model_generator(picks):
+            mod.plotProfileGrid(ax=ax, color="grey", lw=0.1, alpha=0.2)
+        self.avgMod.plotProfileGrid(label="Avg", ax=ax)
+        self.minMod.plotProfileGrid(label="Min", ax=ax)
+        plt.xlim(3.0, 4.8)
+        plt.legend()
+        return ax
+
+    def plotVsProfileShaded(self):
+        import matplotlib.pyplot as plt
+        zdeps = np.linspace(0, 200, 200)
+        std = self._loadValues(zdeps=zdeps).std(axis=1)
+        ax = self.initMod.plotProfileGrid(label="Initial", alpha=0.2)
+        plt.axes(ax)
+        avgProfile = self.avgMod.value(zdeps)
+        plt.fill_betweenx(zdeps, avgProfile + std, avgProfile - std,
+                          facecolor="grey", alpha=0.6)
+        self.avgMod.plotProfileGrid(ax=ax, label="Avg")
+        plt.xlim(3.0, 4.8)
+        plt.legend()
+        return ax
+
+    def _check_distribution(self, indVars="all", zdeps=None):
+        import matplotlib.pyplot as plt
+        accYs = self._loadValues(indVars, zdeps, priori=False)
+        priYs = (self._loadValues(indVars, zdeps, priori=True)
+                 if self.MCparas_pri is not None else None)
+        indVars = (range(len(self.initMod._brownians()))
+                   if indVars == "all" else indVars)
+        titles = ([f"Parameter index {i}" for i in indVars]
+                  if zdeps is None else [f"Hist of Vs at {z} km"
+                                         for z in zdeps])
+        for i, title in enumerate(titles):
+            plt.figure()
+            if priYs is not None:
+                _, bin_edges = np.histogram(priYs[i], bins=30)
+                plt.hist(accYs[i], bins=bin_edges,
+                         weights=np.ones_like(accYs[i]) / len(accYs[i]),
+                         fill=True, ec="k", rwidth=0.8)
+                plt.hist(priYs[i], bins=bin_edges,
+                         weights=np.ones_like(priYs[i]) / len(priYs[i]),
+                         fill=False, ec="k", rwidth=1.0)
+            else:
+                plt.hist(accYs[i], bins=30)
+            plt.title(title)
+
+    def _check_convergency(self, indVars="all", zdeps=None):
+        import matplotlib.pyplot as plt
+        chainL = self.invMeta["chainL"]
+        chainLTests = [int(l) for l in np.linspace(chainL / 10, chainL, 20)]
+
+        def indChainLTest(chainLTest):
+            N = len(self.misfits)
+            ind = np.zeros(N, dtype=bool)
+            i = 0
+            while i < N:
+                ind[i:i + chainLTest] = True
+                i += chainL
+            return ind
+
+        indVars = (range(len(self.initMod._brownians()))
+                   if indVars == "all" else indVars)
+        nVars = len(list(indVars)) if zdeps is None else len(zdeps)
+        yMean = np.zeros([nVars, len(chainLTests)])
+        yStd = np.zeros([nVars, len(chainLTests)])
+        for j, cl in enumerate(chainLTests):
+            ind = indChainLTest(cl)
+            thres = self._thres(self.misfits[ind].min())
+            accInd = np.where((self.misfits < thres) * ind)[0]
+            values = self._loadValues(indVars, zdeps, accInd)
+            yMean[:, j] = values.mean(axis=1)
+            yStd[:, j] = values.std(axis=1)
+        plt.figure()
+        for i in range(nVars):
+            plt.plot(chainLTests, yMean[i])
+        plt.title("Mean")
+        plt.figure()
+        for i in range(nVars):
+            plt.plot(chainLTests, yStd[i])
+        plt.title("Standard Deviation")
+
+    def _check_history(self, yType="ksquare"):
+        import matplotlib.pyplot as plt
+        plt.figure()
+        if yType == "ksquare":
+            y = self.misfits**2 * len(self.obs["T"])
+            thres = self.thres**2 * len(self.obs["T"])
+        elif yType == "likelihood":
+            y, thres = self.Ls, None
+        elif yType == "misfit":
+            y, thres = self.misfits, self.thres
+        else:
+            raise ValueError(f"Unsupported type of y: {yType}")
+        plt.plot(y)
+        ind = np.where(self.accepts.astype(bool))[0]
+        plt.plot(ind, y[ind], "or")
+        if thres:
+            plt.plot([0, self.N], [thres, thres], "--g")
+
+
+class PostPointCascadia(PostPoint):
+    misfit = PointCascadia.misfit

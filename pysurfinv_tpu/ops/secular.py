@@ -1,0 +1,278 @@
+"""Thomson–Haskell / Dunkin secular functions as masked JAX layer scans.
+
+Behavioural spec from the reference Fortran:
+
+  * Love wave: 2x2 Haskell propagation of (displacement, stress) from the
+    effective halfspace up to the free surface; the secular function is
+    the negated surface stress (``/root/reference/fast_surf_src/surfa.f:135-183``,
+    function DLTAR1).
+  * Rayleigh wave: Dunkin reduced-delta formulation — a 5-component
+    subdeterminant vector propagated from the free surface down through
+    the stack, closed with the halfspace condition
+    (``surfa.f:185-372``, function DLTAR4, dispersion branch mup=1),
+    including the liquid-surface-layer branch (``surfa.f:216-251``).
+  * Dynamic halfspace truncation: layers deeper than ``fact = 4``
+    wavelengths of cumulative evanescent (c < vs) thickness are replaced
+    by a halfspace (``surfa.f:92-106``).
+  * Per-period physical-dispersion (attenuation) rescale of velocities
+    (``calcul.f:121-130``) with t_base = 1 s.
+
+TPU re-design notes:
+  * All branches (liquid layer, evanescent/oscillatory/critical regimes,
+    truncation) are ``where``-masks, not control flow; one trace serves
+    every (model, period, c) lane.
+  * Layers are padded to a static length L; zero-thickness layers are
+    exact identity updates in both recursions, so padding is free.
+  * The 5-vector / 2-vector state is renormalised by its max-abs every
+    layer.  The reference relies on float32 range plus truncation; the
+    rescale is sign-preserving so root locations and the implicit-
+    differentiation ratios used for group velocity are unchanged, while
+    float32 on TPU stays comfortably in range.
+  * The unselected branch of every ``where`` is computed on clamped
+    arguments (the classic double-where trick) so ``jax.grad`` through
+    the secular function is NaN-free.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+
+TWO_PI = 6.283185307179586
+ACCUR = 1e-8  # regime-switch tolerance, surfa.f:191-192
+
+
+def attenuation_rescale(vp_ref, vs_ref, qsinv, t, t_base=1.0):
+    """Physical-dispersion velocity rescale at period ``t``.
+
+    calcul.f:121-130:  qsq = qsinv*ln(t_base/t)/pi,
+    qpq = qsq*(4/3)*(vs_ref/vp_ref)^2, b = b_ref*(1+qsq), a = a_ref*(1+qpq).
+    """
+    qsq = qsinv * jnp.log(t_base / t) / jnp.pi
+    vp_safe = jnp.where(jnp.abs(vp_ref) > 0, vp_ref, 1.0)
+    qpq = qsq * 1.33333333 * (vs_ref / vp_safe) ** 2
+    return vp_ref * (1.0 + qpq), vs_ref * (1.0 + qsq)
+
+
+def effective_halfspace(c, t, b, d, nlay, fact=4.0):
+    """1-based effective layer count after 4-wavelength truncation.
+
+    Mirrors DLTAR's idrop block (surfa.f:92-106): walk the stack, summing
+    thicknesses of layers with c < vs; the first layer at which that sum
+    exceeds ``fact * c * t`` becomes the halfspace.  Clamped to >= 2.
+    """
+    L = b.shape[0]
+    idx = jnp.arange(L)
+    dmax = fact * c * t
+    cond = (c < b) & (idx < nlay)
+    csum = jnp.cumsum(jnp.where(cond, d, 0.0))
+    exceed = cond & (csum > dmax)
+    m = jnp.where(jnp.any(exceed), jnp.argmax(exceed) + 1, nlay)
+    return jnp.maximum(m, 2)
+
+
+def _pq_terms(r, wd):
+    """Branchless (r*sin, sin/r, cos) analogues for one wavenumber regime.
+
+    Matches surfa.f:212-219 — ``r`` carries the reference sign convention
+    (negative for evanescent, positive for oscillatory):
+      r < 0:   rsin = -r*sinh(wd*r),  sinr = sinh(wd*r)/r,  cosx = cosh(wd*r)
+      r > 0:   rsin =  r*sin(wd*r),   sinr = sin(wd*r)/r,   cosx = cos(wd*r)
+      |r|~0:   rsin = 0,              sinr = wd,            cosx = 1
+    """
+    ev = r < -ACCUR
+    osc = r > ACCUR
+    pm = wd * r
+    pm_ev = jnp.where(ev, pm, 0.0)
+    pm_osc = jnp.where(osc, pm, 0.0)
+    r_safe = jnp.where(jnp.abs(r) > ACCUR, r, 1.0)
+    sh, ch = jnp.sinh(pm_ev), jnp.cosh(pm_ev)
+    sn, cs = jnp.sin(pm_osc), jnp.cos(pm_osc)
+    rsin = jnp.where(ev, -r * sh, jnp.where(osc, r * sn, 0.0))
+    sinr = jnp.where(ev, sh / r_safe, jnp.where(osc, sn / r_safe, wd))
+    cosx = jnp.where(ev, ch, jnp.where(osc, cs, 1.0))
+    return rsin, sinr, cosx
+
+
+def rayleigh_secular(c, t, a, b, rho, d, mmax):
+    """Dunkin reduced-delta Rayleigh secular function (DLTAR4, mup=1).
+
+    Args:
+      c, t:  trial phase velocity and period (scalars).
+      a, b, rho, d: (L,) flattened+attenuated padded model arrays.
+      mmax:  effective 1-based layer count (from ``effective_halfspace``).
+
+    Returns the (renormalised) secular determinant; only its sign and the
+    ratios of its (c, t) partials at a root are meaningful.
+    """
+    wvno = TWO_PI / (c * t)
+    csq = c * c
+
+    # --- per-layer vertical wavenumber terms (surfa.f:211-219) ---------
+    arga = 1.0 - csq / (a * a)
+    ra_abs = jnp.sqrt(jnp.abs(arga))
+    ra = jnp.where(arga > 0.0, -ra_abs, ra_abs)
+
+    liquid = jnp.abs(b) <= ACCUR
+    b_safe = jnp.where(liquid, 1.0, b)
+    argb = 1.0 - csq / (b_safe * b_safe)
+    rb_abs = jnp.sqrt(jnp.abs(argb))
+    rb = jnp.where(argb > 0.0, -rb_abs, rb_abs)
+
+    wd = wvno * d
+    rsinp, sinpr, cosp = _pq_terms(ra, wd)
+    rsinq, sinqr, cosq = _pq_terms(rb, wd)
+
+    # --- solid-layer matrix entries (surfa.f:259-320) -------------------
+    rhoc = rho * csq
+    g = 2.0 * b_safe * b_safe / csq
+    g1 = g - 1.0
+    rr = rsinp * rsinq
+    ss = sinpr * sinqr
+    cc = cosp * cosq
+    rs1 = rsinp * cosq
+    rs2 = sinqr * cosp
+    rs3 = sinpr * cosq
+    rs4 = rsinq * cosp
+    gm = 2.0 * g - 1.0
+    gs = g * g
+    g1s = g1 * g1
+    ccm = 1.0 - cc
+    gg1 = g * g1
+    rhocs = rhoc * rhoc
+    suu = gs * rr + g1s * ss
+
+    a11 = (2.0 * gs - gm) * cc - suu - 2.0 * gg1
+    a12 = -(rs1 + rs2) / rhoc
+    a13 = -2.0 * (gm * ccm + g1 * ss + g * rr) / rhoc
+    a14 = (rs3 + rs4) / rhoc
+    a15 = (2.0 * ccm + rr + ss) / rhocs
+    a21 = rhoc * (g1s * rs3 + gs * rs4)
+    a22 = cc
+    a23 = 2.0 * (g * rs4 + g1 * rs3)
+    a24 = sinpr * rsinq
+    a31 = rhoc * (gg1 * gm * ccm + g1s * g1 * ss + gs * g * rr)
+    a32 = g1 * rs2 + g * rs1
+    a33 = 1.0 + 2.0 * (2.0 * gg1 * ccm + suu)
+    a41 = -rhoc * (g1s * rs2 + gs * rs1)
+    a42 = rsinp * sinqr
+    a51 = rhocs * (2.0 * gs * g1s * ccm + gs * gs * rr + g1s * g1s * ss)
+
+    # --- liquid-surface-layer override (surfa.f:216-251) ----------------
+    zero = jnp.zeros_like(a11)
+    a11 = jnp.where(liquid, cosp, a11)
+    a21 = jnp.where(liquid, rhoc * sinpr, a21)
+    a12 = jnp.where(liquid, zero, a12)
+    a13 = jnp.where(liquid, zero, a13)
+    a14 = jnp.where(liquid, zero, a14)
+    a15 = jnp.where(liquid, zero, a15)
+    a22 = jnp.where(liquid, zero, a22)
+    a23 = jnp.where(liquid, zero, a23)
+    a24 = jnp.where(liquid, zero, a24)
+    a31 = jnp.where(liquid, zero, a31)
+    a32 = jnp.where(liquid, zero, a32)
+    a33 = jnp.where(liquid, zero, a33)
+    a41 = jnp.where(liquid, zero, a41)
+    a42 = jnp.where(liquid, zero, a42)
+    a51 = jnp.where(liquid, zero, a51)
+
+    entries = jnp.stack(
+        [a11, a12, a13, a14, a15, a21, a22, a23, a24,
+         a31, a32, a33, a41, a42, a51], axis=-1)  # (L, 15)
+
+    # --- propagate the 5-vector through layers 0 .. mmax-2 --------------
+    # Symmetric update (surfa.f:326-335).
+    L = a.shape[0]
+    apply_mask = jnp.arange(L) < (mmax - 1)
+
+    def body(bvec, xs):
+        e, apply = xs
+        (e11, e12, e13, e14, e15, e21, e22, e23, e24,
+         e31, e32, e33, e41, e42, e51) = [e[i] for i in range(15)]
+        b1, b2, b3, b4, b5 = bvec
+        bb1 = e11 * b1 + e12 * b2 + e13 * b3 + e14 * b4 + e15 * b5
+        bb2 = e21 * b1 + e22 * b2 + e23 * b3 + e24 * b4 - e14 * b5
+        bb3 = e31 * b1 + e32 * b2 + e33 * b3 - 0.5 * e23 * b4 + 0.5 * e13 * b5
+        bb4 = e41 * b1 + e42 * b2 - 2.0 * e32 * b3 + e22 * b4 - e12 * b5
+        bb5 = e51 * b1 - e41 * b2 + 2.0 * e31 * b3 - e21 * b4 + e11 * b5
+        new = jnp.stack([bb1, bb2, bb3, bb4, bb5])
+        new = jnp.where(apply, new, bvec)
+        scale = jnp.max(jnp.abs(new))
+        new = new / jnp.where(scale > 0.0, scale, 1.0)
+        return new, None
+
+    bvec0 = jnp.zeros((5,), dtype=a.dtype).at[0].set(1.0)
+    bvec, _ = lax.scan(body, bvec0, (entries[:-1], apply_mask[:-1]))
+
+    # --- halfspace closure (surfa.f:340-354) -----------------------------
+    h = mmax - 1
+    a_h, b_h, rho_h = a[h], b[h], rho[h]
+    ra_h = jnp.where(jnp.abs(ra[h]) > ACCUR, ra[h], -ACCUR)
+    rb_h = rb[h]
+    g_h, g1_h = g[h], g1[h]
+    den = rho_h * a_h * a_h
+    gra = g_h * ra_h
+    rba = rb_h - 1.0 / ra_h
+    A11 = -2.0 * rb_h * (b_h * b_h) / (a_h * a_h) \
+        + csq * (g1_h * g1_h) / ((a_h * a_h) * gra)
+    A12 = -1.0 / (g_h * den)
+    A13 = -rb_h / den + g1_h / (den * gra)
+    A14 = rb_h / (den * gra)
+    A15 = rba / ((rho_h * a_h) ** 2 * csq * g_h)
+    bb1 = (A11 * bvec[0] + A12 * bvec[1] + 2.0 * A13 * bvec[2]
+           + A14 * bvec[3] + A15 * bvec[4])
+    return -bb1
+
+
+def love_secular(c, t, b, rho, d, mmax):
+    """Haskell Love-wave secular function (DLTAR1, mup=1).
+
+    Propagates (transverse displacement, stress) from the effective
+    halfspace (index mmax-1) up to the surface; water layers (vs = 0) are
+    skipped (surfa.f:150-152).  Returns the negated surface stress.
+    """
+    wvno = TWO_PI / (c * t)
+    L = b.shape[0]
+    idx = jnp.arange(L)
+
+    water = jnp.abs(b) <= ACCUR
+    b_safe = jnp.where(water, 1.0, b)
+    covb = c / b_safe
+    rb = jnp.sqrt(jnp.abs(covb * covb - 1.0))
+    hmu = rho * b_safe * b_safe
+    q = -wvno * d * rb
+
+    # Regimes (surfa.f:156-172): oscillatory c > b, critical, evanescent.
+    osc = (c > b_safe) & (rb >= 1e-20)
+    ev = (c < b_safe) & (rb >= 1e-20)
+    q_osc = jnp.where(osc, q, 0.0)
+    q_ev = jnp.where(ev, q, 0.0)
+    rb_safe = jnp.where(rb >= 1e-20, rb, 1.0)
+    y = jnp.where(osc, jnp.sin(q_osc) / rb_safe,
+                  jnp.where(ev, jnp.sinh(q_ev) / rb_safe, -wvno * d))
+    z = jnp.where(osc, rb * jnp.sin(q_osc),
+                  jnp.where(ev, -rb * jnp.sinh(q_ev), 0.0))
+    cosq = jnp.where(osc, jnp.cos(q_osc), jnp.where(ev, jnp.cosh(q_ev), 1.0))
+
+    # Halfspace initial state (surfa.f:143-148).
+    h = mmax - 1
+    ut0 = jnp.ones((), dtype=b.dtype)
+    tt0 = hmu[h] * rb[h]
+    scale0 = jnp.maximum(jnp.abs(ut0), jnp.abs(tt0))
+    state0 = jnp.stack([ut0, tt0]) / jnp.where(scale0 > 0, scale0, 1.0)
+
+    apply_mask = (idx <= (mmax - 2)) & ~water
+
+    def body(state, xs):
+        y_m, z_m, cosq_m, hmu_m, apply = xs
+        ut, tt = state
+        eut = cosq_m * ut - y_m * tt / hmu_m
+        ett = hmu_m * z_m * ut + cosq_m * tt
+        new = jnp.stack([eut, ett])
+        new = jnp.where(apply, new, state)
+        scale = jnp.max(jnp.abs(new))
+        return new / jnp.where(scale > 0, scale, 1.0), None
+
+    xs = (y[:-1], z[:-1], cosq[:-1], hmu[:-1], apply_mask[:-1])
+    state, _ = lax.scan(body, state0, xs, reverse=True)
+    return -state[1]

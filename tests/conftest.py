@@ -1,0 +1,51 @@
+"""Test configuration: CPU backend, 8 virtual devices, float64, jit cache."""
+
+import os
+
+# Must be set before jax import: tests always run on CPU (the session
+# environment may point JAX_PLATFORMS at a tunnelled TPU — force it off),
+# with a virtual 8-device mesh for sharding tests (SURVEY.md §4.5) and
+# float64 so golden comparisons are exact.
+os.environ["JAX_PLATFORMS"] = "cpu"
+if "--xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + " --xla_force_host_platform_device_count=8")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/pysurfinv_tpu_jit_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "test1.npz")
+
+
+@pytest.fixture(scope="session")
+def golden():
+    """Parsed TEST1 golden data (see tests/golden/make_golden.py)."""
+    return np.load(GOLDEN)
+
+
+@pytest.fixture(scope="session")
+def eus_model(golden):
+    """The 68-layer eus_model padded to L=72 (halfspace replicated, h=0)."""
+    h, vp, vs = golden["model_h"], golden["model_vp"], golden["model_vs"]
+    rho, qs = golden["model_rho"], golden["model_qs"]
+    nlay = len(h)
+    L = 72
+
+    def pad(x, fill):
+        return np.concatenate([x, np.full(L - nlay, fill)])
+
+    return {
+        "h": pad(h, 0.0).copy(),
+        "vp": pad(vp, vp[-1]),
+        "vs": pad(vs, vs[-1]),
+        "rho": pad(rho, rho[-1]),
+        "qsinv": pad(1.0 / qs, 1.0 / qs[-1]),
+        "nlay": nlay,
+        "periods": golden["periods"].astype(float),
+    }

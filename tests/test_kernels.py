@@ -1,0 +1,92 @@
+"""Sensitivity-kernel checks.
+
+1. AD kernels vs central finite differences of our own forward — this is
+   exactly the cross-validation the reference performs between
+   SensKernel (eigenfunction kernels) and SensKernelPert (+-0.1 % FD
+   through fast_surf, senskernel.py:129-158), but with machine-precision
+   agreement expected since both sides share one secular function.
+2. Apparent Q vs the TEST1 att goldens (calcul.f:256-265).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pysurfinv_tpu.ops.dispersion import SurfConfig, surf_forward
+from pysurfinv_tpu.ops.kernels import sensitivity_kernels
+
+
+def _args(m):
+    return (jnp.array(m["h"]), jnp.array(m["vp"]), jnp.array(m["vs"]),
+            jnp.array(m["rho"]), jnp.array(m["qsinv"]))
+
+
+@pytest.fixture(scope="module", params=["rayleigh", "love"])
+def kr(request, eus_model):
+    m = eus_model
+    res = sensitivity_kernels(*_args(m), jnp.array(m["periods"]), m["nlay"],
+                              wave=request.param)
+    return request.param, m, res
+
+
+def _fd_kernel(m, wave, which, ilayers, rel=1e-3):
+    """Central finite difference d(c,u)/d(param_i), reference-style."""
+    periods = jnp.array(m["periods"])
+    base = {k: np.array(m[k]) for k in ("h", "vp", "vs", "rho", "qsinv")}
+    dc, du = [], []
+    for i in ilayers:
+        out = []
+        for sgn in (+1, -1):
+            pert = {k: v.copy() for k, v in base.items()}
+            step = rel * pert[which][i]
+            pert[which][i] += sgn * step
+            c, u, ok = surf_forward(
+                jnp.array(pert["h"]), jnp.array(pert["vp"]),
+                jnp.array(pert["vs"]), jnp.array(pert["rho"]),
+                jnp.array(pert["qsinv"]), periods, m["nlay"], wave=wave,
+                cfg=SurfConfig(nmodes=1))
+            out.append((np.array(c[:, 0]), np.array(u[:, 0]), step))
+        (cp, up, s), (cm, um, _) = out
+        dc.append((cp - cm) / (2 * s))
+        du.append((up - um) / (2 * s))
+    return np.array(dc).T, np.array(du).T  # (P, len(ilayers))
+
+
+@pytest.mark.parametrize("which,attr", [("vs", "dc_dvs"), ("vp", "dc_dvp"),
+                                        ("rho", "dc_drho")])
+def test_phase_kernels_vs_fd(kr, which, attr):
+    wave, m, res = kr
+    if wave == "love" and which == "vp":
+        pytest.skip("Love waves are independent of Vp")
+    ilayers = [0, 5, 17, 30, 50, 64]  # spread through the stack
+    fd_c, _ = _fd_kernel(m, wave, which, ilayers)
+    ad = np.array(getattr(res, attr))[:, ilayers]
+    scale = np.abs(fd_c).max() + 1e-12
+    assert np.abs(ad - fd_c).max() / scale < 2e-4
+
+
+@pytest.mark.parametrize("which,attr", [("vs", "du_dvs"), ("rho", "du_drho")])
+def test_group_kernels_vs_fd(kr, which, attr):
+    wave, m, res = kr
+    ilayers = [5, 17, 30, 50]
+    _, fd_u = _fd_kernel(m, wave, which, ilayers)
+    ad = np.array(getattr(res, attr))[:, ilayers]
+    scale = np.abs(fd_u).max() + 1e-12
+    assert np.abs(ad - fd_u).max() / scale < 2e-4
+
+
+def test_group_velocity_consistent(kr, golden):
+    wave, m, res = kr
+    wt = "R" if wave == "rayleigh" else "L"
+    ref = golden[f"grv_{wt}_0"][:, 1]
+    rel = np.abs(np.array(res.u) - ref) / ref
+    assert rel.max() < 1e-4
+
+
+def test_apparent_q_golden(kr, golden):
+    """Apparent Q from AD attenuation integrals vs TEST1 .att goldens."""
+    wave, m, res = kr
+    wt = "R" if wave == "rayleigh" else "L"
+    ref = golden[f"att_{wt}_0"][:, 1]
+    rel = np.abs(np.array(res.q_app) - ref) / ref
+    assert rel.max() < 2e-2
