@@ -213,8 +213,9 @@ class CompiledModel:
         checks = [
             jnp.all(jnp.where(sed, vs >= 0.2, True)),
             P.jnp_group_jumps_positive(vs, grp),
-            P.jnp_mono_increase(vs, sed),
-            P.jnp_mono_increase(vs, crust),
+            # non-strict: see models/model1d.py monoNonDecrease rationale
+            P.jnp_mono_increase(vs, sed, eps=-1e-12),
+            P.jnp_mono_increase(vs, crust, eps=-1e-12),
             (vs[-1] - vs[-2]) / jnp.maximum(z[-1] - z[-2], 1e-9) > 0,
         ]
         model_type = type(self.model).__name__

@@ -25,6 +25,19 @@ def monoIncrease(a, eps=EPS):
     return np.all(np.diff(a) >= eps)
 
 
+def monoNonDecrease(a, tol=1e-12):
+    """Non-strict monotonicity.
+
+    Note: the reference's CascadiaOcean.isgood indexes with a *list*
+    (``vs[grp=='sediment']`` where grp is a Python list, models.py:591),
+    which silently reduces the check to a no-op.  Enforcing the strict
+    intent would reject every model whose sediment Vs is constant
+    (OceanSedimentCascadia), deadlocking the sampler, so the rebuilt
+    prior enforces the physical intent non-strictly instead.
+    """
+    return np.all(np.diff(a) >= -tol)
+
+
 def _pad_len(n, align=8):
     return int(-(-n // align) * align)
 
@@ -355,7 +368,7 @@ class CascadiaOcean(MCinv):
         for i in np.where(grp[1:] != grp[:-1])[0]:  # positive group jumps
             if vs[i + 1] < vs[i]:
                 return False
-        if not monoIncrease(vsS) or not monoIncrease(vsC):
+        if not monoNonDecrease(vsS) or not monoNonDecrease(vsC):
             return False
         if (vs[-1] - vs[-2]) / (z[-1] - z[-2]) <= 0:  # increase at bottom
             return False
@@ -408,9 +421,9 @@ class CascadiaPrism(MCinv):
                 return False
         if np.any(vs > 4.9):
             return False
-        if not monoIncrease(vs[grp == "sediment"]):
+        if not monoNonDecrease(vs[grp == "sediment"]):
             return False
-        if not monoIncrease(vs[grp == "crust"]):
+        if not monoNonDecrease(vs[grp == "crust"]):
             return False
         if (vsM[-1] - vsM[-2]) / (zM[-1] - zM[-2]) <= 0:
             return False
@@ -440,9 +453,9 @@ class CascadiaContinent(MCinv):
                 return False
         if np.any(vs > 4.9):
             return False
-        if not monoIncrease(vs[grp == "sediment"]):
+        if not monoNonDecrease(vs[grp == "sediment"]):
             return False
-        if not monoIncrease(vs[grp == "crust"]):
+        if not monoNonDecrease(vs[grp == "crust"]):
             return False
         return True
 
