@@ -1,0 +1,120 @@
+#!/usr/bin/env python3
+"""Benchmark: batched surface-wave dispersion solves per second per chip.
+
+Headline metric from BASELINE.json: >= 1e5 dispersion forward solves/sec/
+chip (the reference's f2py fast_surf manages O(10^2-10^3)/s/core).  One
+"solve" = a full fundamental-mode Rayleigh phase+group dispersion curve
+(18 periods, Cascadia-ocean-like ~56-layer model, attenuation + earth-
+flattening + per-period root search), i.e. exactly one reference
+``fast_surf`` call (models.py:27).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("PYSURFINV_SCAN_UNROLL", "16")
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np  # noqa: E402
+
+BASELINE_SOLVES_PER_SEC = 1e5  # driver north-star target
+
+
+def build_batch(B, rng):
+    """B perturbed Cascadia-ocean-like layered models, padded to L=64."""
+    from pysurfinv_tpu.models.model1d import buildModel1D
+
+    yml = {
+        "OceanWater": {"H": 2},
+        "OceanSedimentCascadia": {"H": 0.5},
+        "OceanCrust": {"H": 7, "Vs": [3.25, 3.94]},
+        "OceanMantleHybrid": {
+            "BottomDepth": 200, "Conversion": "Ritzwoller",
+            "ThermAge": 4.0,
+            "Vs": [[0.02, "fixed"], [0.01, "fixed"],
+                   [-0.01, "fixed"], [-0.02, "fixed"]],
+        },
+        "Info": {"modelType": "CascadiaOcean", "period": 10,
+                 "refLayer": True, "lithoAgeQ": True},
+    }
+    mod = buildModel1D(yml, {"topo": -2, "sedthk": 0.5, "lithoAge": 4.0})
+    h, vs, vp, rho, qs, qp, _ = mod.seisPropLayers(refLayer=True)
+    keep = h > 1e-3
+    h, vs, vp, rho, qs = h[keep], vs[keep], vp[keep], rho[keep], qs[keep]
+    nlay = len(h)
+    L = int(-(-(nlay + 1) // 16) * 16)  # pad to multiple of 16
+    pad = L - nlay
+
+    def p(x, fill):
+        return np.concatenate([x, np.full(pad, fill)])
+
+    base = np.stack([p(h, 0.0), p(vp, vp[-1]), p(vs, vs[-1]),
+                     p(rho, rho[-1]), p(1.0 / qs, 1.0 / qs[-1])])
+    batch = np.repeat(base[None], B, axis=0)
+    # +-0.5% multiplicative jitter on Vs (keeps models physical)
+    jit = 1.0 + 0.005 * rng.standard_normal((B, L))
+    batch[:, 2] *= np.where(base[0] > 0, jit, 1.0)
+    batch[:, 1] *= np.where(base[0] > 0, jit, 1.0)
+    return batch, nlay
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from pysurfinv_tpu.ops.dispersion import SurfConfig, surf_forward_batch
+
+    rng = np.random.default_rng(0)
+    B = int(os.environ.get("BENCH_BATCH", 4096))
+    periods = jnp.asarray(np.array(
+        [10, 12, 14, 16, 18, 20, 22, 24, 26, 28, 30, 32, 36, 40, 50, 60,
+         70, 80], dtype=np.float32))
+    batch, nlay = build_batch(B, rng)
+    batch = batch.astype(np.float32)
+    H = jnp.asarray(batch[:, 0])
+    VP = jnp.asarray(batch[:, 1])
+    VS = jnp.asarray(batch[:, 2])
+    RHO = jnp.asarray(batch[:, 3])
+    QSI = jnp.asarray(batch[:, 4])
+    NL = jnp.full((B,), nlay, dtype=jnp.int32)
+
+    cfg = SurfConfig(
+        nmodes=1,
+        nscan_first=int(os.environ.get("BENCH_NSCAN_FIRST", 512)),
+        nscan=int(os.environ.get("BENCH_NSCAN", 120)),
+        nbisect=int(os.environ.get("BENCH_NBISECT", 42)),
+        compute_group=os.environ.get("BENCH_GROUP", "1") == "1")
+
+    def run():
+        c, u, ok = surf_forward_batch(H, VP, VS, RHO, QSI, periods, NL,
+                                      wave="rayleigh", cfg=cfg)
+        return c, ok
+
+    # warmup / compile
+    c, ok = run()
+    c.block_until_ready()
+    frac_ok = float(np.asarray(ok[:, :, 0]).all(axis=1).mean())
+
+    n_iter = int(os.environ.get("BENCH_ITERS", 3))
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        c, ok = run()
+    c.block_until_ready()
+    dt = (time.perf_counter() - t0) / n_iter
+
+    solves_per_sec = B / dt
+    print(json.dumps({
+        "metric": "rayleigh_dispersion_solves_per_sec_per_chip",
+        "value": round(solves_per_sec, 1),
+        "unit": "solves/s (18-period fundamental-mode curve, batch "
+                f"{B}, ok={frac_ok:.3f})",
+        "vs_baseline": round(solves_per_sec / BASELINE_SOLVES_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

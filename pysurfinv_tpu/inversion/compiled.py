@@ -1,16 +1,23 @@
-"""Compile a Model1D into pure JAX functions of the Brownian vector.
+"""Compile a Model1D into pure JAX functions of (theta, psi).
 
 The reference rebuilds Python layer objects for every MCMC proposal
 (``/root/reference/models.py:192-219`` + ``layers.py:64-79``), costing as
 much as the physics.  Here a model's *structure* (layer types, fine-grid
 sizes, group layout, which parameters are stochastic) is frozen once,
-and everything value-dependent becomes three pure functions
+and everything value-dependent becomes pure functions of two vectors:
 
-    build_profile(theta) -> padded (h, vp, vs, rho, qsinv) layer stack
-    isgood(theta)        -> bool   (vectorised prior mask)
-    forward(theta)       -> c(P,)  (batched dispersion solve)
+  * ``theta`` — the stochastic (Brownian) parameters, in the reference's
+    ``_brownians`` order (models.py:240-253);
+  * ``psi``   — the fixed numeric constants that differ between grid
+    points (water depth, sediment thickness, lithospheric age, topo, ...
+    injected by ``_loadLocalInfo``) — so ONE compiled program serves an
+    entire geographic grid, vmapped over points and sharded over chips.
 
-that jit, vmap (chains), and shard (grid points) cleanly.
+Exposed functions::
+
+    build_profile(theta, psi) -> padded (h, vp, vs, rho, qsinv) stack
+    isgood(theta, psi)        -> bool (vectorised prior mask)
+    forward(theta, periods, psi) -> c(P,) fundamental-mode curve
 
 Frozen-structure deviations from the reference (documented, statistical
 impact negligible):
@@ -33,6 +40,11 @@ import numpy as np
 from pysurfinv_tpu.models.brownian import BrownianVar
 from pysurfinv_tpu.models.layers import OceanMantleHybrid
 from pysurfinv_tpu.ops.dispersion import SurfConfig, surf_forward
+
+# parm keys that select static structure and must never become traced
+_STATIC_KEYS = {"deg", "Conversion"}
+# info keys whose numeric values vary per grid point
+_INFO_KEYS = ("topo", "lithoAge")
 
 
 class BrownianSpec(NamedTuple):
@@ -57,83 +69,116 @@ def _walk_brownians(layers):
                 yield li, k, None, v
 
 
+def _is_plain_number(v):
+    return isinstance(v, (int, float)) and not isinstance(v, bool) \
+        and not isinstance(v, BrownianVar)
+
+
+def _walk_consts(layers):
+    """Yield (layer_idx, key, list_idx_or_None, value) for fixed numeric
+    parameters (the per-grid-point constants)."""
+    for li, layer in enumerate(layers):
+        for k, v in layer.parm.items():
+            if k in _STATIC_KEYS:
+                continue
+            if type(v) is list:
+                for i, e in enumerate(v):
+                    if _is_plain_number(e):
+                        yield li, k, i, e
+            elif _is_plain_number(v):
+                yield li, k, None, v
+
+
 class CompiledModel:
-    """Freeze a Model1D's structure; expose theta-pure JAX functions."""
+    """Freeze a Model1D's structure; expose (theta, psi)-pure functions."""
 
     def __init__(self, model, pad_align=8):
         self.model = model.copy()
         self.info = dict(model.info)
         layers = self.model.layers
         self._slots = list(_walk_brownians(layers))
-        bs = [s[3] for s in self._slots]
-        self.spec = BrownianSpec(
-            theta0=jnp.array([float(b) for b in bs]),
-            vmin=jnp.array([b.vmin for b in bs]),
-            vmax=jnp.array([b.vmax for b in bs]),
-            step=jnp.array([b.step for b in bs]),
-        )
-        self.ntheta = len(bs)
+        self._const_slots = list(_walk_consts(layers))
+        self.spec = self.spec_of(self.model)
+        self.psi0 = self.psi_of(self.model)
+        self.ntheta = len(self._slots)
 
         # ---- freeze structure off the initial model --------------------
         self._use_ref = bool(self.info.get("refLayer", False))
         self._layers = list(layers) + (
             [self.model._refLayer] if self._use_ref else [])
         self._n_main = len(layers)
+        # the reference layer's constants are global (H=300, slope), not
+        # per-point; keep them out of psi by only walking main layers.
 
         # fine-grid sizes + static group layout from one host build
         self._nfine = []
         grp_nodes, name_nodes = [], []
-        ctx = _HostCtx(self.info)
+        hctx = _HostCtx(self.info)
         for layer in self._layers:
-            nf = self._static_nfine(layer, ctx)
+            nf = self._static_nfine(layer, hctx)
             self._nfine.append(nf)
-            out = layer.seisPropGrids(layersAbove=ctx.layersAbove(),
+            out = layer.seisPropGrids(layersAbove=hctx.layersAbove(),
                                       modelInfo=self.info, nFine=nf)
-            ctx.push(layer, [np.asarray(x) for x in out])
+            hctx.push(layer, [np.asarray(x) for x in out])
             npts = len(np.asarray(out[0]))
             grp_nodes += [layer.prop["Group"]] * npts
             name_nodes += [layer.prop["LayerName"]] * npts
         self.grp_nodes = np.array(grp_nodes)
         self.name_nodes = np.array(name_nodes)
-        # node count excluding the appended reference layer (isgood uses
-        # refLayer=False grids, models.py:575)
-        self._n_nodes_main = int(
-            sum(len(np.asarray(
-                layer.seisPropGrids(layersAbove=None, modelInfo=None,
-                                    nFine=nf)[0]) if False else 0)
-                for layer, nf in zip([], [])))  # placeholder, set below
-        counts = []
-        for layer, nf in zip(self._layers, self._nfine):
-            counts.append(nf + 1)
-        self._node_counts = counts
-        self._n_nodes_main = int(sum(counts[: self._n_main]))
-        self._n_nodes = int(sum(counts))
+        self._node_counts = [nf + 1 for nf in self._nfine]
+        # isgood uses refLayer=False grids (models.py:575)
+        self._n_nodes_main = int(sum(self._node_counts[: self._n_main]))
+        self._n_nodes = int(sum(self._node_counts))
 
         # padded layer-stack length for the solver
         n_rows = self._n_nodes - 1  # midpoints across the full stack
-        self.L = int(-(-(n_rows) // pad_align) * pad_align)
-        self.periods = None  # set by bind_obs / forward call
+        self.L = int(-(-n_rows // pad_align) * pad_align)
 
         self._grp_ids_main = _codes(self.grp_nodes[: self._n_nodes_main])
         self._cfg = SurfConfig()
 
+    # ---- per-point parameter extraction --------------------------------
+    def spec_of(self, model) -> BrownianSpec:
+        """BrownianSpec of a same-structure model (per-point bounds)."""
+        bs = [s[3] for s in _walk_brownians(model.layers)]
+        if hasattr(self, "_slots") and len(bs) != len(self._slots):
+            raise ValueError("model structure mismatch (theta size)")
+        return BrownianSpec(
+            theta0=jnp.array([float(b) for b in bs]),
+            vmin=jnp.array([b.vmin for b in bs]),
+            vmax=jnp.array([b.vmax for b in bs]),
+            step=jnp.array([b.step for b in bs]))
+
+    def psi_of(self, model):
+        """Fixed-constant vector of a same-structure model."""
+        cs = [s[3] for s in _walk_consts(model.layers)]
+        if hasattr(self, "_const_slots") and len(cs) != len(self._const_slots):
+            raise ValueError("model structure mismatch (psi size)")
+        info = model.info or {}
+        extra = [float(info.get(k, 0) or 0) for k in _INFO_KEYS]
+        return jnp.array([float(c) for c in cs] + extra)
+
     @staticmethod
-    def _static_nfine(layer, ctx):
+    def _static_nfine(layer, hctx):
         try:
-            return layer._nFineLayers(layersAbove=ctx.layersAbove(),
-                                      modelInfo=ctx.info)
+            return layer._nFineLayers(layersAbove=hctx.layersAbove(),
+                                      modelInfo=hctx.info)
         except (NotImplementedError, AttributeError, TypeError):
             return 1
 
     # ------------------------------------------------------------------
-    def _substitute(self, theta):
-        """Copies of layer parms with BrownianVars replaced by theta[i]."""
+    def _substitute(self, theta, psi):
+        """Layer parms with Brownians -> theta[i] and consts -> psi[j]."""
         parms = [dict(l.parm) for l in self._layers]
-        # shallow-copy lists so we can replace elements
         for p in parms:
             for k, v in list(p.items()):
                 if type(v) is list:
                     p[k] = list(v)
+        for j, (li, k, ei, _) in enumerate(self._const_slots):
+            if ei is None:
+                parms[li][k] = psi[j]
+            else:
+                parms[li][k][ei] = psi[j]
         for i, (li, k, ei, _) in enumerate(self._slots):
             if ei is None:
                 parms[li][k] = theta[i]
@@ -141,13 +186,25 @@ class CompiledModel:
                 parms[li][k][ei] = theta[i]
         return parms
 
-    def build_grids(self, theta):
-        """theta -> concatenated node grids (z, vs, vp, rho, qs, qp)."""
-        parms = self._substitute(theta)
+    def _info_traced(self, psi):
+        info = dict(self.info)
+        nc = len(self._const_slots)
+        for ix, k in enumerate(_INFO_KEYS):
+            if k in info and info[k] is not None:
+                info[k] = psi[nc + ix]
+        return info
+
+    def build_grids(self, theta, psi=None):
+        """(theta, psi) -> concatenated node grids (z, vs, vp, rho, qs, qp)."""
+        psi = self.psi0 if psi is None else psi
+        parms = self._substitute(theta, psi)
+        info = self._info_traced(psi)
         dtype = theta.dtype
         z_parts, parts = [], {k: [] for k in ("vs", "vp", "rho", "qs", "qp")}
-        z_last = jnp.asarray(-max(self.info.get("topo", 0) or 0, 0),
-                             dtype=dtype)
+        nc = len(self._const_slots)
+        topo = (psi[nc + _INFO_KEYS.index("topo")]
+                if self.info.get("topo") is not None else 0.0)
+        z_last = -jnp.maximum(jnp.asarray(topo, dtype), 0.0)
         last = {k: jnp.zeros((), dtype) for k in parts}
         crustH = jnp.zeros((), dtype)
         for layer, parm, nf in zip(self._layers, parms, self._nfine):
@@ -156,8 +213,7 @@ class CompiledModel:
             layersAbove = [jnp.array([z_last])] + \
                 [jnp.array([last[k]]) for k in ("vs", "vp", "rho", "qs", "qp")] \
                 + [None, None]
-            kwargs = dict(layersAbove=layersAbove, modelInfo=self.info,
-                          nFine=nf)
+            kwargs = dict(layersAbove=layersAbove, modelInfo=info, nFine=nf)
             if isinstance(lay, OceanMantleHybrid):
                 kwargs["crustH"] = crustH
             z1, vs1, vp1, rho1, qs1, qp1 = lay.seisPropGrids(**kwargs)
@@ -175,14 +231,14 @@ class CompiledModel:
         out = {k: jnp.concatenate(v) for k, v in parts.items()}
         return z, out["vs"], out["vp"], out["rho"], out["qs"], out["qp"]
 
-    def build_profile(self, theta):
-        """theta -> padded (h, vp, vs, rho, qsinv, nlay) layer stack.
+    def build_profile(self, theta, psi=None):
+        """(theta, psi) -> padded (h, vp, vs, rho, qsinv, nlay) stack.
 
         Midpoint averaging as in models.py:93-102; interface rows (h = 0)
         are exact identities in the secular recursion, so no compaction
         is needed.
         """
-        z, vs, vp, rho, qs, qp = self.build_grids(theta)
+        z, vs, vp, rho, qs, qp = self.build_grids(theta, psi)
         h = jnp.diff(z)
         mid = lambda x: 0.5 * (x[1:] + x[:-1])  # noqa: E731
         vs, vp, rho, qs = mid(vs), mid(vp), mid(rho), mid(qs)
@@ -198,12 +254,12 @@ class CompiledModel:
         return h_p, hs(vp), hs(vs), hs(rho), hs(qsinv), nlay
 
     # ------------------------------------------------------------------
-    def isgood(self, theta):
+    def isgood(self, theta, psi=None):
         """Vectorised prior (CascadiaOcean.isgood, models.py:571-677)."""
         from pysurfinv_tpu.inversion import priors as P
 
         n = self._n_nodes_main
-        z, vs, *_ = self.build_grids(theta)
+        z, vs, *_ = self.build_grids(theta, psi)
         z, vs = z[:n], vs[:n]
         grp = jnp.asarray(self._grp_ids_main)
         sed = jnp.asarray(self.grp_nodes[:n] == "sediment")
@@ -221,7 +277,7 @@ class CompiledModel:
         model_type = type(self.model).__name__
         if model_type in ("CascadiaPrism", "CascadiaContinent"):
             checks.append(jnp.all(vs < 4.9))
-        if model_type in ("CascadiaOcean",) or "Ocean" in model_type:
+        if "Ocean" in model_type:
             vsM = jnp.where(mantle, vs, 0.0)
             nM = jnp.sum(mantle)
             meanM = jnp.sum(vsM) / jnp.maximum(nM, 1)
@@ -241,10 +297,10 @@ class CompiledModel:
         return ok
 
     # ------------------------------------------------------------------
-    def forward(self, theta, periods, wave="rayleigh", cfg=None):
-        """theta -> fundamental-mode phase velocities (P,) (0 = failed)."""
+    def forward(self, theta, periods, psi=None, wave="rayleigh", cfg=None):
+        """(theta, psi) -> fundamental-mode phase velocities (0 = failed)."""
         cfg = cfg or self._cfg
-        h, vp, vs, rho, qsinv, nlay = self.build_profile(theta)
+        h, vp, vs, rho, qsinv, nlay = self.build_profile(theta, psi)
         c, u, ok = surf_forward(h, vp, vs, rho, qsinv, periods, nlay,
                                 wave=wave, cfg=cfg._replace(nmodes=1))
         return jnp.where(ok[:, 0], c[:, 0], 0.0)
@@ -275,8 +331,7 @@ class _HostCtx:
 
 
 def _codes(strings):
-    _, inv = np.unique(strings, return_inverse=True)
-    # consecutive-run codes so that boundaries = value changes
+    """Consecutive-run integer codes so boundaries = value changes."""
     codes = np.zeros(len(strings), dtype=np.int32)
     c = 0
     for i in range(1, len(strings)):

@@ -20,13 +20,17 @@ Reference semantics (``/root/reference/point.py:32-125``):
   * ``priori=True`` skips the forward entirely to sample the prior
     (point.py:66-69).
 
+``isgood(theta, ctx)`` and ``chi_sqr(theta, ctx)`` receive an arbitrary
+per-point context pytree (psi constants + observations), so the same
+kernel vmaps over chains within a point and again over grid points —
+the sharded 3-D driver (parallel/grid.py).
+
 The recorded track rows are ``[misfit, L, accepted] + theta`` — the npz
 chain format PostPoint consumes (point.py:80-85).
 """
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -36,8 +40,8 @@ from jax import lax
 
 class ChainConfig(NamedTuple):
     chain_len: int = 1000          # steps per independent chain segment
-    n_perturb_rounds: int = 6      # masked retries of the prior-rejected proposal
-    n_reset_rounds: int = 50       # masked retries of the uniform reset
+    n_perturb_rounds: int = 100    # retry cap, prior-rejected proposals
+    n_reset_rounds: int = 500      # retry cap, uniform resets
     priori: bool = False           # sample the prior only
     misfit_fail: float = 88888.0   # sentinel for failed forwards
 
@@ -56,73 +60,89 @@ def uniform_reset(key, vmin, vmax, dtype):
     return vmin + u * (vmax - vmin)
 
 
-def _propose(key, theta, spec, isgood, cfg: ChainConfig):
-    """Prior-accepted proposal with masked retries (perturb then reset)."""
+def _retry(key, sample_fn, check_fn, init_cand, max_rounds):
+    """Draw-until-accepted with an early-exit while loop.
 
-    def try_round(carry, key_r):
-        found, cand = carry
-        prop = truncated_step(key_r, theta, spec.step, spec.vmin, spec.vmax)
-        good = isgood(prop)
-        take = good & ~found
-        cand = jnp.where(take, prop, cand)
-        return (found | good, cand), None
+    Mirrors the reference's rejection loops (models.py:196-219) without
+    a fixed cost: typical proposals pass in 1-2 rounds.  Under vmap the
+    loop runs until every lane is done, so caps stay moderate.
+    """
 
-    keys = jax.random.split(key, cfg.n_perturb_rounds + cfg.n_reset_rounds)
-    (found, cand), _ = lax.scan(try_round, (jnp.asarray(False), theta),
-                                keys[: cfg.n_perturb_rounds])
+    def cond(s):
+        i, found, _, _ = s
+        return (i < max_rounds) & ~found
 
-    def reset_round(carry, key_r):
-        found, cand = carry
-        prop = uniform_reset(key_r, spec.vmin, spec.vmax, theta.dtype)
-        good = isgood(prop)
-        take = good & ~found
-        cand = jnp.where(take, prop, cand)
-        return (found | good, cand), None
+    def body(s):
+        i, found, cand, k = s
+        k, k1 = jax.random.split(k)
+        prop = sample_fn(k1)
+        good = check_fn(prop)
+        cand = jnp.where(good & ~found, prop, cand)
+        return i + 1, found | good, cand, k
 
-    (found, cand), _ = lax.scan(reset_round, (found, cand),
-                                keys[cfg.n_perturb_rounds:])
+    _, found, cand, _ = lax.while_loop(
+        cond, body, (jnp.zeros((), jnp.int32), jnp.asarray(False),
+                     init_cand, key))
     return cand, found
 
 
-def make_chain_kernel(isgood, chi_sqr, spec, cfg: ChainConfig):
-    """Build the jitted per-chain sampler.
+def _propose(key, theta, spec, ctx, isgood, cfg: ChainConfig):
+    """Prior-accepted proposal: perturb retries, then uniform resets
+    (models.py:192-219)."""
+    k1, k2 = jax.random.split(key)
+    cand, found = _retry(
+        k1,
+        lambda k: truncated_step(k, theta, spec.step, spec.vmin, spec.vmax),
+        lambda p: isgood(p, ctx), theta, cfg.n_perturb_rounds)
+
+    def do_reset(k):
+        return _retry(
+            k, lambda kk: uniform_reset(kk, spec.vmin, spec.vmax,
+                                        theta.dtype),
+            lambda p: isgood(p, ctx), cand, cfg.n_reset_rounds)
+
+    cand, found = lax.cond(found, lambda k: (cand, found), do_reset, k2)
+    return cand, found
+
+
+def make_chain_kernel(isgood, chi_sqr, cfg: ChainConfig):
+    """Build the per-chain sampler.
 
     Args:
-      isgood:  theta -> bool (vectorised prior).
-      chi_sqr: theta -> (misfit, chiSqr, L); for priori mode it is never
-               called.
-      spec:    BrownianSpec (theta0/vmin/vmax/step arrays).
+      isgood:  (theta, ctx) -> bool (vectorised prior).
+      chi_sqr: (theta, ctx) -> (misfit, chiSqr, L); never called in
+               priori mode.
       cfg:     ChainConfig.
 
-    Returns ``run(key, theta_init, use_init) -> track`` where track is
-    (chain_len, 3 + ntheta): columns [misfit, L, accepted, theta...].
+    Returns ``run(key, spec, ctx, theta_init, use_init) -> track`` of
+    shape (chain_len, 3 + ntheta): columns [misfit, L, accepted, theta].
     """
 
-    def eval_misfit(theta):
+    def eval_misfit(theta, ctx):
         if cfg.priori:
             z = jnp.zeros((), theta.dtype)
             return z, z, jnp.ones((), theta.dtype)
-        return chi_sqr(theta)
+        return chi_sqr(theta, ctx)
 
-    def init_state(key, theta_init, use_init):
+    def init_state(key, spec, ctx, theta_init, use_init):
         k1, k2 = jax.random.split(key)
         theta_reset, _ = _propose(
             k1, uniform_reset(k2, spec.vmin, spec.vmax, spec.theta0.dtype),
-            spec, isgood, cfg._replace(n_perturb_rounds=1))
+            spec, ctx, isgood, cfg._replace(n_perturb_rounds=1))
         theta = jnp.where(use_init, theta_init, theta_reset)
-        misfit, chi, L = eval_misfit(theta)
+        misfit, chi, L = eval_misfit(theta, ctx)
         return theta, misfit, chi, L
 
-    def step(carry, key):
+    def step(spec, ctx, carry, key):
         theta0, misfit0, chi0, L0 = carry
         k_prop, k_acc = jax.random.split(key)
-        theta1, ok = _propose(k_prop, theta0, spec, isgood, cfg)
+        theta1, ok = _propose(k_prop, theta0, spec, ctx, isgood, cfg)
         if cfg.priori:
             row = jnp.concatenate([jnp.zeros(2, theta1.dtype),
                                    jnp.ones(1, theta1.dtype), theta1])
             return (theta1, misfit0, chi0, L0), row
 
-        misfit1, chi1, L1 = eval_misfit(theta1)
+        misfit1, chi1, L1 = eval_misfit(theta1, ctx)
         # Metropolis on chi^2 (point.py:34-37); prior-failed proposal or
         # failed forward is rejected.
         u = jax.random.uniform(k_acc, dtype=theta1.dtype)
@@ -136,23 +156,26 @@ def make_chain_kernel(isgood, chi_sqr, spec, cfg: ChainConfig):
                jnp.where(accept, L1, L0))
         return new, row
 
-    def run(key, theta_init, use_init):
+    def run(key, spec, ctx, theta_init, use_init):
         k0, ks = jax.random.split(key)
-        theta, misfit, chi, L = init_state(k0, theta_init, use_init)
+        theta, misfit, chi, L = init_state(k0, spec, ctx, theta_init,
+                                           use_init)
         first_row = jnp.concatenate([
             jnp.stack([misfit, L, jnp.ones((), theta.dtype)]), theta])
         keys = jax.random.split(ks, cfg.chain_len - 1)
-        _, rows = lax.scan(step, (theta, misfit, chi, L), keys)
+        _, rows = lax.scan(lambda c, k: step(spec, ctx, c, k),
+                           (theta, misfit, chi, L), keys)
         return jnp.concatenate([first_row[None], rows], axis=0)
 
     return run
 
 
-@partial(jax.jit, static_argnames=("kernel", "n_chains"))
-def run_chains(kernel, key, theta0, n_chains: int):
-    """vmap the chain kernel: chain 0 starts from theta0 (init=True),
-    the rest from uniform resets — the MCinvMP layout (point.py:101-102).
-    """
+def run_chains(kernel, key, spec, ctx, n_chains: int):
+    """vmap the chain kernel within one point: chain 0 starts from theta0
+    (init=True), the rest from uniform resets — the MCinvMP layout
+    (point.py:101-102)."""
     keys = jax.random.split(key, n_chains)
     use_init = jnp.arange(n_chains) == 0
-    return jax.vmap(lambda k, ui: kernel(k, theta0, ui))(keys, use_init)
+    run = jax.jit(jax.vmap(
+        lambda k, ui: kernel(k, spec, ctx, spec.theta0, ui)))
+    return run(keys, use_init)

@@ -122,11 +122,12 @@ class Point:
         periods = jnp.asarray(np.asarray(self.obs["T"], dtype=float))
         chi_sqr = self._compiled_chi_sqr(cm, periods, wave)
         cfg = ChainConfig(chain_len=chainL, priori=priori)
-        kernel = make_chain_kernel(cm.isgood, chi_sqr, cm.spec, cfg)
+        kernel = make_chain_kernel(lambda th, psi: cm.isgood(th, psi),
+                                   chi_sqr, cfg)
 
         n_chains = runN // chainL
         key = jax.random.PRNGKey(seed)
-        tracks = run_chains(kernel, key, cm.spec.theta0, n_chains)
+        tracks = run_chains(kernel, key, cm.spec, cm.psi0, n_chains)
         mcTrack = np.asarray(tracks).reshape(runN, -1)
         self._save_npz(outdir, pid, mcTrack, chainL)
         if verbose:
@@ -142,8 +143,8 @@ class Point:
         uncer = jnp.asarray(np.asarray(self.obs["uncer"], dtype=float))
         N = int(mask.sum())
 
-        def chi_sqr(theta):
-            cP = cm.forward(theta, periods, wave=wave)
+        def chi_sqr(theta, psi):
+            cP = cm.forward(theta, periods, psi=psi, wave=wave)
             ok = jnp.all(cP >= 0.01)
             chi = jnp.sum(jnp.where(obs_m, ((obs_c - cP) / uncer) ** 2, 0.0))
             misfit = jnp.sqrt(chi / N)
@@ -209,8 +210,8 @@ class PointCascadia(Point):
         N = int(mask.sum())
         n_lo, n_hi = int((mask & (T <= 40)).sum()), int((mask & (T > 40)).sum())
 
-        def chi_sqr(theta):
-            cP = cm.forward(theta, periods, wave=wave)
+        def chi_sqr(theta, psi):
+            cP = cm.forward(theta, periods, psi=psi, wave=wave)
             ok = jnp.all(cP >= 0.01)
             b2 = ((obs_c - cP) / uncer) ** 2
             if n_lo and n_hi:

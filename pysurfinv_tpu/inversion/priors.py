@@ -148,7 +148,10 @@ def jnp_cwt_oscillation(v, z, mask, limit=0.3, max_width=32):
     line = v0 + (v1 - v0) * (z - z0) / jnp.maximum(z1 - z0, 1e-9)
     detrend = jnp.where(mask, v - line, 0.0)
 
-    N = 10 * max_width
+    # kernel length: static, capped at the signal length — jnp.convolve
+    # ('same') returns max(len(v), len(kernel)) so a longer kernel would
+    # change the output length; scipy.signal.cwt used the same cap
+    N = min(10 * max_width, n)
     t = jnp.arange(N) - (N - 1) / 2
     A = 2 / (jnp.sqrt(3 * width) * jnp.pi**0.25)
     wav = A * (1 - (t / width) ** 2) * jnp.exp(-(t**2) / (2 * width**2))

@@ -312,8 +312,11 @@ class OceanMantleHybrid(OceanMantle):
 
     @staticmethod
     def _crust_thickness(layersAbove):
-        z, grp = np.asarray(layersAbove[0]), np.asarray(layersAbove[6][:-1])
+        z, grp = np.asarray(layersAbove[0]), np.asarray(layersAbove[6])
         h = np.diff(z)
+        if len(grp) == len(z):  # grid-aligned lists (models.py:75-84)
+            grp = grp[:-1]
+        # else: context carries a seed z entry, grp already h-aligned
         keep = h > 0.01
         return float(np.sum(h[keep][grp[keep] == "crust"]))
 

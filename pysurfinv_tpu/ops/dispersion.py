@@ -48,14 +48,25 @@ class SurfConfig(NamedTuple):
     """Static solver configuration (defaults mirror fast_surf/init.f:25)."""
 
     dc: float = 0.01          # bracket step
-    nscan_first: int = 512    # c-grid points, first period (start far below root)
-    nscan: int = 120          # c-grid points, warm-started periods/modes
-    nbisect: int = 42         # fixed bisection iterations (dc / 2^42 << 1e-6)
+    nscan_first: int = 512    # c-grid coverage (in dc), first period
+    nscan: int = 120          # c-grid coverage (in dc), warm-started periods
+    nbisect: int = 14         # Illinois refinement iterations (supra-linear;
+    #                           reference NEVILL tolerance is 1e-6, surfa.f:10)
+    two_stage: bool = True    # coarse 4*dc scan + fine dc scan of the hit
+    #                           cell. Safe for consecutive-mode searches: no
+    #                           roots exist between the warm start and the
+    #                           target root, so the first coarse sign change
+    #                           brackets it unless the NEXT mode lies within
+    #                           4*dc (0.04 km/s) of the target — tighter than
+    #                           typical mode separation; the reference's own
+    #                           dc stepping has the same failure class at
+    #                           0.01 km/s.
     fact: float = 4.0         # halfspace truncation, wavelengths
     t_base: float = 1.0       # physical-dispersion reference period
     atten: bool = True        # KEY_ATTEN (init.f:43)
     flat: bool = True         # KEY_FLAT  (init.f:45)
     nmodes: int = 1           # fundamental only by default
+    compute_group: bool = True  # group velocity via implicit diff
 
 
 def _secular_fn(wave: str):
@@ -80,14 +91,9 @@ def _model_at_period(t, vp, vs, rho, qsinv, fac, cfg: SurfConfig):
             rho * fac.rho_fac, fac.h_flat)
 
 
-def _find_root(F, c_start, t, mdl, nlay, cfg: SurfConfig, nscan: int):
-    """First sign change above ``c_start`` on a dc-grid, then bisection.
-
-    Returns (root, found, mmax_frozen).
-    """
-    dc = cfg.dc
+def _first_flip(F, cs, t, mdl, nlay, cfg):
+    """Evaluate F on a c-grid; return the first sign-change interval."""
     b, d = mdl[1], mdl[3]
-    cs = c_start + dc * jnp.arange(nscan + 1, dtype=c_start.dtype)
 
     def eval_at(cv):
         mm = effective_halfspace(cv, t, b, d, nlay, cfg.fact)
@@ -101,23 +107,69 @@ def _find_root(F, c_start, t, mdl, nlay, cfg: SurfConfig, nscan: int):
     cand = (sgn[:-1] != sgn[1:]) & within[1:]
     found = jnp.any(cand)
     i = jnp.argmax(cand)
+    return i, found, mms
+
+
+def _find_root(F, c_start, t, mdl, nlay, cfg: SurfConfig, nscan: int,
+               two_stage: bool = False):
+    """First sign change above ``c_start``, then Illinois refinement.
+
+    Replaces the reference's dc-stepping + Neville table
+    (calcul.f:156-172, surfa.f:2-83) with (optionally) a coarse 4*dc scan
+    narrowed by a fine dc scan, then a fixed-iteration Illinois
+    (regula-falsi) refinement — supra-linear, bracket-preserving, and
+    uniform across lanes.  Returns (root, found, mmax_frozen).
+    """
+    dc = cfg.dc
+    b = mdl[1]
+    dtype = c_start.dtype
+
+    if two_stage:
+        # coarse 2*dc grid, then dc-refine the first flipped cell.  2*dc
+        # keeps the hidden-pair window at 0.02 km/s (the truncation-jump
+        # artifacts that 4*dc occasionally swallowed, ~1e-3 of solves).
+        kc = max(nscan // 2, 1)
+        cs_c = c_start + (2 * dc) * jnp.arange(kc + 1, dtype=dtype)
+        ic, found_c, _ = _first_flip(F, cs_c, t, mdl, nlay, cfg)
+        fine_start = cs_c[ic]
+        cs = fine_start + dc * jnp.arange(3, dtype=dtype)
+        i, found_f, mms = _first_flip(F, cs, t, mdl, nlay, cfg)
+        found = found_c & found_f
+    else:
+        cs = c_start + dc * jnp.arange(nscan + 1, dtype=dtype)
+        i, found, mms = _first_flip(F, cs, t, mdl, nlay, cfg)
+
     c_lo, c_hi = cs[i], cs[i + 1]
     mm = mms[i + 1]  # NEVILL inherits mmax from the last bracket eval
 
     f_lo = F(c_lo, t, mdl, mm)
-    s_lo0 = _sign(f_lo)
+    f_hi = F(c_hi, t, mdl, mm)
 
-    def bisect(_, state):
-        lo, hi, s_lo = state
-        mid = 0.5 * (lo + hi)
-        s_mid = _sign(F(mid, t, mdl, mm))
-        same = s_mid == s_lo
-        lo = jnp.where(same, mid, lo)
-        hi = jnp.where(same, hi, mid)
-        return lo, hi, s_lo
+    def illinois(_, state):
+        lo, hi, flo, fhi, side = state
+        denom = fhi - flo
+        denom = jnp.where(jnp.abs(denom) > 0, denom, 1.0)
+        x = (lo * fhi - hi * flo) / denom
+        bad = ~((x > lo) & (x < hi))
+        x = jnp.where(bad, 0.5 * (lo + hi), x)
+        fx = F(x, t, mdl, mm)
+        same_lo = _sign(fx) == _sign(flo)
+        nlo = jnp.where(same_lo, x, lo)
+        nflo = jnp.where(same_lo, fx, flo)
+        nhi = jnp.where(same_lo, hi, x)
+        nfhi = jnp.where(same_lo, fhi, fx)
+        # Illinois halving of the stale end when the same end repeats
+        nfhi = jnp.where(same_lo & (side == -1), 0.5 * nfhi, nfhi)
+        nflo = jnp.where(~same_lo & (side == 1), 0.5 * nflo, nflo)
+        side = jnp.where(same_lo, jnp.int32(-1), jnp.int32(1))
+        return nlo, nhi, nflo, nfhi, side
 
-    lo, hi, _ = lax.fori_loop(0, cfg.nbisect, bisect, (c_lo, c_hi, s_lo0))
-    root = 0.5 * (lo + hi)
+    lo, hi, flo, fhi, _ = lax.fori_loop(
+        0, cfg.nbisect, illinois,
+        (c_lo, c_hi, f_lo, f_hi, jnp.zeros((), jnp.int32)))
+    denom = jnp.where(jnp.abs(fhi - flo) > 0, fhi - flo, 1.0)
+    root = (lo * fhi - hi * flo) / denom
+    root = jnp.clip(root, lo, hi)
     # root must not exceed the halfspace shear velocity (calcul.f:191)
     found = found & (root <= b[mm - 1])
     return root, found, mm
@@ -205,8 +257,13 @@ def surf_forward(h, vp, vs, rho, qsinv, periods, nlay,
                 # overtones never start below the previous mode's root
                 # (calcul.f:145-151, 199)
                 start = jnp.maximum(start, prev_root + 0.01 * cfg.dc)
-            root, found, mm = _find_root(F, start, t, mdl, nlay, cfg, nscan)
-            u = _group_velocity(F, root, t, mdl, mm)
+            # two-stage scanning only for the fundamental: overtones can
+            # osculate (< 4*dc apart, e.g. TEST1 R/L mode 1 at T = 20 s)
+            root, found, mm = _find_root(F, start, t, mdl, nlay, cfg, nscan,
+                                         two_stage=cfg.two_stage
+                                         and iq == 0)
+            u = (_group_velocity(F, root, t, mdl, mm)
+                 if cfg.compute_group else jnp.zeros_like(root))
             roots.append(root)
             founds.append(found)
             us.append(u)

@@ -87,10 +87,14 @@ def sensitivity_kernels(h, vp, vs, rho, qsinv, periods, nlay,
     """
     from pysurfinv_tpu.ops.dispersion import H_MIN
 
-    cfg1 = cfg._replace(nmodes=1)
+    nmodes = cfg.nmodes
     c_all, u_all, ok_all = surf_forward(h, vp, vs, rho, qsinv, periods, nlay,
-                                        wave=wave, cfg=cfg1)
-    c0s, u0s, oks = c_all[:, 0], u_all[:, 0], ok_all[:, 0]
+                                        wave=wave, cfg=cfg)
+    P = periods.shape[0]
+    # flatten (period, mode) pairs for one vmapped kernel pass
+    t_flat = jnp.repeat(periods, nmodes)
+    c0s = c_all.reshape(-1)
+    oks = ok_all.reshape(-1)
 
     kind = 1 if wave in ("love", "lov", "L") else 2
     F = _secular_fn(wave)
@@ -161,19 +165,23 @@ def sensitivity_kernels(h, vp, vs, rho, qsinv, periods, nlay,
         return (dc_dvs, dc_dvp, dc_drho, dc_dh,
                 du_dvs, du_dvp, du_drho, q_app, u0)
 
-    outs = jax.vmap(per_period)(periods, c0s, oks)
+    outs = jax.vmap(per_period)(t_flat, c0s, oks)
     (dc_dvs, dc_dvp, dc_drho, dc_dh,
      du_dvs, du_dvp, du_drho, q_app, u_imp) = outs
 
     zmask = oks[:, None]
+
+    def shape(x, per_layer=True):
+        if per_layer:
+            x = jnp.where(zmask, x, 0.0)
+            return x if nmodes == 1 else x.reshape(P, nmodes, -1)
+        return x if nmodes == 1 else x.reshape(P, nmodes)
+
     return KernelResult(
-        c=c0s, u=jnp.where(oks, u_imp, 0.0), valid=oks,
-        dc_dvs=jnp.where(zmask, dc_dvs, 0.0),
-        dc_dvp=jnp.where(zmask, dc_dvp, 0.0),
-        dc_drho=jnp.where(zmask, dc_drho, 0.0),
-        dc_dh=jnp.where(zmask, dc_dh, 0.0),
-        du_dvs=jnp.where(zmask, du_dvs, 0.0),
-        du_dvp=jnp.where(zmask, du_dvp, 0.0),
-        du_drho=jnp.where(zmask, du_drho, 0.0),
-        q_app=jnp.where(oks, q_app, 0.0),
+        c=shape(c0s, False), u=shape(jnp.where(oks, u_imp, 0.0), False),
+        valid=shape(oks, False),
+        dc_dvs=shape(dc_dvs), dc_dvp=shape(dc_dvp), dc_drho=shape(dc_drho),
+        dc_dh=shape(dc_dh), du_dvs=shape(du_dvs), du_dvp=shape(du_dvp),
+        du_drho=shape(du_drho),
+        q_app=shape(jnp.where(oks, q_app, 0.0), False),
     )

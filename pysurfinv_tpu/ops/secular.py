@@ -23,11 +23,16 @@ TPU re-design notes:
     every (model, period, c) lane.
   * Layers are padded to a static length L; zero-thickness layers are
     exact identity updates in both recursions, so padding is free.
+  * The per-layer matrix entries are computed *inside* the scan body
+    from the raw (vp, vs, rho, d) rows.  Precomputing them materializes
+    an (L, 15, lanes) tensor to HBM — measured ~100x slower on TPU than
+    recomputing in registers each step (HBM-bandwidth-bound vs
+    VPU-bound).
   * The 5-vector / 2-vector state is renormalised by its max-abs every
-    layer.  The reference relies on float32 range plus truncation; the
-    rescale is sign-preserving so root locations and the implicit-
-    differentiation ratios used for group velocity are unchanged, while
-    float32 on TPU stays comfortably in range.
+    layer (the reference relies on float32 range plus truncation); the
+    rescale is sign-preserving and wrapped in ``stop_gradient`` so both
+    root locations and every AD derivative of the secular function are
+    exactly those of the unscaled recursion.
   * The unselected branch of every ``where`` is computed on clamped
     arguments (the classic double-where trick) so ``jax.grad`` through
     the secular function is NaN-free.
@@ -35,8 +40,16 @@ TPU re-design notes:
 
 from __future__ import annotations
 
+import os
+
 import jax.numpy as jnp
 from jax import lax
+
+# Scan unrolling trades compile time for runtime: TPU loop iterations
+# carry fixed scheduling overhead that dominates this tiny-state scan
+# (16x unroll ~ +20% throughput), but unrolling multiplies HLO size,
+# which hurts CPU test compile times badly. Tests set this to 1.
+SCAN_UNROLL = int(os.environ.get("PYSURFINV_SCAN_UNROLL", "8"))
 
 TWO_PI = 6.283185307179586
 ACCUR = 1e-8  # regime-switch tolerance, surfa.f:191-192
@@ -86,12 +99,32 @@ def _pq_terms(r, wd):
     pm_ev = jnp.where(ev, pm, 0.0)
     pm_osc = jnp.where(osc, pm, 0.0)
     r_safe = jnp.where(jnp.abs(r) > ACCUR, r, 1.0)
-    sh, ch = jnp.sinh(pm_ev), jnp.cosh(pm_ev)
+    # sinh/cosh from one exp (pm_ev <= 0, so e <= 1 and 1/e is bounded by
+    # the truncation window) — one transcendental instead of two; this is
+    # also exactly how the reference evaluates them (surfa.f:267-269)
+    e = jnp.exp(pm_ev)
+    einv = 1.0 / e
+    sh, ch = 0.5 * (e - einv), 0.5 * (e + einv)
     sn, cs = jnp.sin(pm_osc), jnp.cos(pm_osc)
     rsin = jnp.where(ev, -r * sh, jnp.where(osc, r * sn, 0.0))
     sinr = jnp.where(ev, sh / r_safe, jnp.where(osc, sn / r_safe, wd))
     cosx = jnp.where(ev, ch, jnp.where(osc, cs, 1.0))
     return rsin, sinr, cosx
+
+
+def _vertical_wavenumbers(c, a, b):
+    """Signed ra, rb and g, g1 (surfa.f:211-258); liquid-safe."""
+    csq = c * c
+    arga = 1.0 - csq / (a * a)
+    ra_abs = jnp.sqrt(jnp.abs(arga))
+    ra = jnp.where(arga > 0.0, -ra_abs, ra_abs)
+    liquid = jnp.abs(b) <= ACCUR
+    b_safe = jnp.where(liquid, 1.0, b)
+    argb = 1.0 - csq / (b_safe * b_safe)
+    rb_abs = jnp.sqrt(jnp.abs(argb))
+    rb = jnp.where(argb > 0.0, -rb_abs, rb_abs)
+    g = 2.0 * b_safe * b_safe / csq
+    return ra, rb, g, g - 1.0, liquid
 
 
 def rayleigh_secular(c, t, a, b, rho, d, mmax):
@@ -103,118 +136,96 @@ def rayleigh_secular(c, t, a, b, rho, d, mmax):
       mmax:  effective 1-based layer count (from ``effective_halfspace``).
 
     Returns the (renormalised) secular determinant; only its sign and the
-    ratios of its (c, t) partials at a root are meaningful.
+    ratios of its partials at a root are meaningful.
     """
     wvno = TWO_PI / (c * t)
     csq = c * c
-
-    # --- per-layer vertical wavenumber terms (surfa.f:211-219) ---------
-    arga = 1.0 - csq / (a * a)
-    ra_abs = jnp.sqrt(jnp.abs(arga))
-    ra = jnp.where(arga > 0.0, -ra_abs, ra_abs)
-
-    liquid = jnp.abs(b) <= ACCUR
-    b_safe = jnp.where(liquid, 1.0, b)
-    argb = 1.0 - csq / (b_safe * b_safe)
-    rb_abs = jnp.sqrt(jnp.abs(argb))
-    rb = jnp.where(argb > 0.0, -rb_abs, rb_abs)
-
-    wd = wvno * d
-    rsinp, sinpr, cosp = _pq_terms(ra, wd)
-    rsinq, sinqr, cosq = _pq_terms(rb, wd)
-
-    # --- solid-layer matrix entries (surfa.f:259-320) -------------------
-    rhoc = rho * csq
-    g = 2.0 * b_safe * b_safe / csq
-    g1 = g - 1.0
-    rr = rsinp * rsinq
-    ss = sinpr * sinqr
-    cc = cosp * cosq
-    rs1 = rsinp * cosq
-    rs2 = sinqr * cosp
-    rs3 = sinpr * cosq
-    rs4 = rsinq * cosp
-    gm = 2.0 * g - 1.0
-    gs = g * g
-    g1s = g1 * g1
-    ccm = 1.0 - cc
-    gg1 = g * g1
-    rhocs = rhoc * rhoc
-    suu = gs * rr + g1s * ss
-
-    a11 = (2.0 * gs - gm) * cc - suu - 2.0 * gg1
-    a12 = -(rs1 + rs2) / rhoc
-    a13 = -2.0 * (gm * ccm + g1 * ss + g * rr) / rhoc
-    a14 = (rs3 + rs4) / rhoc
-    a15 = (2.0 * ccm + rr + ss) / rhocs
-    a21 = rhoc * (g1s * rs3 + gs * rs4)
-    a22 = cc
-    a23 = 2.0 * (g * rs4 + g1 * rs3)
-    a24 = sinpr * rsinq
-    a31 = rhoc * (gg1 * gm * ccm + g1s * g1 * ss + gs * g * rr)
-    a32 = g1 * rs2 + g * rs1
-    a33 = 1.0 + 2.0 * (2.0 * gg1 * ccm + suu)
-    a41 = -rhoc * (g1s * rs2 + gs * rs1)
-    a42 = rsinp * sinqr
-    a51 = rhocs * (2.0 * gs * g1s * ccm + gs * gs * rr + g1s * g1s * ss)
-
-    # --- liquid-surface-layer override (surfa.f:216-251) ----------------
-    zero = jnp.zeros_like(a11)
-    a11 = jnp.where(liquid, cosp, a11)
-    a21 = jnp.where(liquid, rhoc * sinpr, a21)
-    a12 = jnp.where(liquid, zero, a12)
-    a13 = jnp.where(liquid, zero, a13)
-    a14 = jnp.where(liquid, zero, a14)
-    a15 = jnp.where(liquid, zero, a15)
-    a22 = jnp.where(liquid, zero, a22)
-    a23 = jnp.where(liquid, zero, a23)
-    a24 = jnp.where(liquid, zero, a24)
-    a31 = jnp.where(liquid, zero, a31)
-    a32 = jnp.where(liquid, zero, a32)
-    a33 = jnp.where(liquid, zero, a33)
-    a41 = jnp.where(liquid, zero, a41)
-    a42 = jnp.where(liquid, zero, a42)
-    a51 = jnp.where(liquid, zero, a51)
-
-    entries = jnp.stack(
-        [a11, a12, a13, a14, a15, a21, a22, a23, a24,
-         a31, a32, a33, a41, a42, a51], axis=-1)  # (L, 15)
-
-    # --- propagate the 5-vector through layers 0 .. mmax-2 --------------
-    # Symmetric update (surfa.f:326-335).
     L = a.shape[0]
     apply_mask = jnp.arange(L) < (mmax - 1)
 
     def body(bvec, xs):
-        e, apply = xs
-        (e11, e12, e13, e14, e15, e21, e22, e23, e24,
-         e31, e32, e33, e41, e42, e51) = [e[i] for i in range(15)]
+        a_m, b_m, rho_m, d_m, apply = xs
+        ra, rb, g, g1, liquid = _vertical_wavenumbers(c, a_m, b_m)
+        wd = wvno * d_m
+        rsinp, sinpr, cosp = _pq_terms(ra, wd)
+        rsinq, sinqr, cosq = _pq_terms(rb, wd)
+
+        # solid-layer matrix entries (surfa.f:259-320)
+        rhoc = rho_m * csq
+        rr = rsinp * rsinq
+        ss = sinpr * sinqr
+        cc = cosp * cosq
+        rs1 = rsinp * cosq
+        rs2 = sinqr * cosp
+        rs3 = sinpr * cosq
+        rs4 = rsinq * cosp
+        gm = 2.0 * g - 1.0
+        gs = g * g
+        g1s = g1 * g1
+        ccm = 1.0 - cc
+        gg1 = g * g1
+        rhocs = rhoc * rhoc
+        suu = gs * rr + g1s * ss
+
+        e11 = (2.0 * gs - gm) * cc - suu - 2.0 * gg1
+        e12 = -(rs1 + rs2) / rhoc
+        e13 = -2.0 * (gm * ccm + g1 * ss + g * rr) / rhoc
+        e14 = (rs3 + rs4) / rhoc
+        e15 = (2.0 * ccm + rr + ss) / rhocs
+        e21 = rhoc * (g1s * rs3 + gs * rs4)
+        e22 = cc
+        e23 = 2.0 * (g * rs4 + g1 * rs3)
+        e24 = sinpr * rsinq
+        e31 = rhoc * (gg1 * gm * ccm + g1s * g1 * ss + gs * g * rr)
+        e32 = g1 * rs2 + g * rs1
+        e33 = 1.0 + 2.0 * (2.0 * gg1 * ccm + suu)
+        e41 = -rhoc * (g1s * rs2 + gs * rs1)
+        e42 = rsinp * sinqr
+        e51 = rhocs * (2.0 * gs * g1s * ccm + gs * gs * rr
+                       + g1s * g1s * ss)
+
+        # liquid-surface-layer override (surfa.f:216-251)
+        zero = jnp.zeros_like(e11)
+        e11 = jnp.where(liquid, cosp, e11)
+        e21 = jnp.where(liquid, rhoc * sinpr, e21)
+        e12, e13, e14, e15 = [jnp.where(liquid, zero, x)
+                              for x in (e12, e13, e14, e15)]
+        e22, e23, e24 = [jnp.where(liquid, zero, x)
+                         for x in (e22, e23, e24)]
+        e31, e32, e33 = [jnp.where(liquid, zero, x)
+                         for x in (e31, e32, e33)]
+        e41, e42, e51 = [jnp.where(liquid, zero, x)
+                         for x in (e41, e42, e51)]
+
+        # symmetric 5-vector update (surfa.f:326-335)
         b1, b2, b3, b4, b5 = bvec
         bb1 = e11 * b1 + e12 * b2 + e13 * b3 + e14 * b4 + e15 * b5
         bb2 = e21 * b1 + e22 * b2 + e23 * b3 + e24 * b4 - e14 * b5
-        bb3 = e31 * b1 + e32 * b2 + e33 * b3 - 0.5 * e23 * b4 + 0.5 * e13 * b5
+        bb3 = (e31 * b1 + e32 * b2 + e33 * b3 - 0.5 * e23 * b4
+               + 0.5 * e13 * b5)
         bb4 = e41 * b1 + e42 * b2 - 2.0 * e32 * b3 + e22 * b4 - e12 * b5
         bb5 = e51 * b1 - e41 * b2 + 2.0 * e31 * b3 - e21 * b4 + e11 * b5
         new = jnp.stack([bb1, bb2, bb3, bb4, bb5])
         new = jnp.where(apply, new, bvec)
-        scale = jnp.max(jnp.abs(new))
-        new = new / jnp.where(scale > 0.0, scale, 1.0)
-        return new, None
+        # stop_gradient: the rescale must be an AD constant, or it
+        # contaminates the second derivatives behind group kernels
+        scale = lax.stop_gradient(jnp.max(jnp.abs(new)))
+        return new / jnp.where(scale > 0.0, scale, 1.0), None
 
     bvec0 = jnp.zeros((5,), dtype=a.dtype).at[0].set(1.0)
-    bvec, _ = lax.scan(body, bvec0, (entries[:-1], apply_mask[:-1]))
+    xs = (a[:-1], b[:-1], rho[:-1], d[:-1], apply_mask[:-1])
+    bvec, _ = lax.scan(body, bvec0, xs, unroll=SCAN_UNROLL)
 
     # --- halfspace closure (surfa.f:340-354) -----------------------------
     h = mmax - 1
     a_h, b_h, rho_h = a[h], b[h], rho[h]
-    ra_h = jnp.where(jnp.abs(ra[h]) > ACCUR, ra[h], -ACCUR)
-    rb_h = rb[h]
-    g_h, g1_h = g[h], g1[h]
+    ra_h, rb_h, g_h, g1_h, _ = _vertical_wavenumbers(c, a_h, b_h)
+    ra_h = jnp.where(jnp.abs(ra_h) > ACCUR, ra_h, -ACCUR)
     den = rho_h * a_h * a_h
     gra = g_h * ra_h
     rba = rb_h - 1.0 / ra_h
-    A11 = -2.0 * rb_h * (b_h * b_h) / (a_h * a_h) \
-        + csq * (g1_h * g1_h) / ((a_h * a_h) * gra)
+    A11 = (-2.0 * rb_h * (b_h * b_h) / (a_h * a_h)
+           + csq * (g1_h * g1_h) / ((a_h * a_h) * gra))
     A12 = -1.0 / (g_h * den)
     A13 = -rb_h / den + g1_h / (den * gra)
     A14 = rb_h / (den * gra)
@@ -235,44 +246,45 @@ def love_secular(c, t, b, rho, d, mmax):
     L = b.shape[0]
     idx = jnp.arange(L)
 
-    water = jnp.abs(b) <= ACCUR
-    b_safe = jnp.where(water, 1.0, b)
-    covb = c / b_safe
-    rb = jnp.sqrt(jnp.abs(covb * covb - 1.0))
-    hmu = rho * b_safe * b_safe
-    q = -wvno * d * rb
-
-    # Regimes (surfa.f:156-172): oscillatory c > b, critical, evanescent.
-    osc = (c > b_safe) & (rb >= 1e-20)
-    ev = (c < b_safe) & (rb >= 1e-20)
-    q_osc = jnp.where(osc, q, 0.0)
-    q_ev = jnp.where(ev, q, 0.0)
-    rb_safe = jnp.where(rb >= 1e-20, rb, 1.0)
-    y = jnp.where(osc, jnp.sin(q_osc) / rb_safe,
-                  jnp.where(ev, jnp.sinh(q_ev) / rb_safe, -wvno * d))
-    z = jnp.where(osc, rb * jnp.sin(q_osc),
-                  jnp.where(ev, -rb * jnp.sinh(q_ev), 0.0))
-    cosq = jnp.where(osc, jnp.cos(q_osc), jnp.where(ev, jnp.cosh(q_ev), 1.0))
-
     # Halfspace initial state (surfa.f:143-148).
     h = mmax - 1
+    b_h = jnp.where(jnp.abs(b[h]) > ACCUR, b[h], 1.0)
+    rb_h = jnp.sqrt(jnp.abs((c / b_h) ** 2 - 1.0))
     ut0 = jnp.ones((), dtype=b.dtype)
-    tt0 = hmu[h] * rb[h]
-    scale0 = jnp.maximum(jnp.abs(ut0), jnp.abs(tt0))
+    tt0 = rho[h] * b_h * b_h * rb_h
+    scale0 = lax.stop_gradient(jnp.maximum(jnp.abs(ut0), jnp.abs(tt0)))
     state0 = jnp.stack([ut0, tt0]) / jnp.where(scale0 > 0, scale0, 1.0)
 
-    apply_mask = (idx <= (mmax - 2)) & ~water
+    apply_mask = (idx <= (mmax - 2)) & (jnp.abs(b) > ACCUR)
 
     def body(state, xs):
-        y_m, z_m, cosq_m, hmu_m, apply = xs
+        b_m, rho_m, d_m, apply = xs
+        water = jnp.abs(b_m) <= ACCUR
+        b_safe = jnp.where(water, 1.0, b_m)
+        rb = jnp.sqrt(jnp.abs((c / b_safe) ** 2 - 1.0))
+        hmu = rho_m * b_safe * b_safe
+        q = -wvno * d_m * rb
+        # regimes (surfa.f:156-172)
+        osc = (c > b_safe) & (rb >= 1e-20)
+        ev = (c < b_safe) & (rb >= 1e-20)
+        q_osc = jnp.where(osc, q, 0.0)
+        q_ev = jnp.where(ev, q, 0.0)
+        rb_safe = jnp.where(rb >= 1e-20, rb, 1.0)
+        eq = jnp.exp(q_ev)  # q_ev <= 0
+        shq, chq = 0.5 * (eq - 1.0 / eq), 0.5 * (eq + 1.0 / eq)
+        y = jnp.where(osc, jnp.sin(q_osc) / rb_safe,
+                      jnp.where(ev, shq / rb_safe, -wvno * d_m))
+        z = jnp.where(osc, rb * jnp.sin(q_osc),
+                      jnp.where(ev, -rb * shq, 0.0))
+        cosq = jnp.where(osc, jnp.cos(q_osc), jnp.where(ev, chq, 1.0))
         ut, tt = state
-        eut = cosq_m * ut - y_m * tt / hmu_m
-        ett = hmu_m * z_m * ut + cosq_m * tt
+        eut = cosq * ut - y * tt / hmu
+        ett = hmu * z * ut + cosq * tt
         new = jnp.stack([eut, ett])
         new = jnp.where(apply, new, state)
-        scale = jnp.max(jnp.abs(new))
+        scale = lax.stop_gradient(jnp.max(jnp.abs(new)))
         return new / jnp.where(scale > 0, scale, 1.0), None
 
-    xs = (y[:-1], z[:-1], cosq[:-1], hmu[:-1], apply_mask[:-1])
-    state, _ = lax.scan(body, state0, xs, reverse=True)
+    xs = (b[:-1], rho[:-1], d[:-1], apply_mask[:-1])
+    state, _ = lax.scan(body, state0, xs, reverse=True, unroll=SCAN_UNROLL)
     return -state[1]

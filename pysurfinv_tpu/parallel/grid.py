@@ -1,0 +1,153 @@
+"""Sharded 3-D grid inversion: all grid points in one SPMD program.
+
+The reference runs each geographic point as a separate OS job writing
+``lon_lat.npz`` (``/root/reference/model3D.py:36-57``), with chains as
+separate processes per point (``point.py:90-107``).  TPU-native layout:
+
+    mesh axis "points"  — grid points, data-parallel across chips (ICI)
+    vmap axis           — chains within a point
+    lax.scan            — steps within a chain
+
+All points must share one model *structure* (the YAML setting); they
+differ only through localInfo-injected constants (water depth, sediment
+thickness, plate age, topo) and per-point Brownian bounds — both live in
+per-point vectors (psi, theta bounds) so a single compiled program
+serves the whole grid.  Mixed settings (ocean + continent grids) are
+handled by calling ``invert_grid`` once per model family.
+
+Output: one ``{lon:g}_{lat:g}.npz`` per point in the reference chain
+format, directly consumable by PostPoint / Model3D.loadInvDir.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+
+
+def invert_grid(points, lonlats, outdir="mcdata", runN=24000, chainL=800,
+                seed=42, priori=False, wave="rayleigh", mesh=None,
+                verbose=True, point_cls=None):
+    """Run MCMC for many grid points as one sharded computation.
+
+    Args:
+      points:  list of Point objects sharing one model structure (their
+               initMod YAML settings differ only in numeric values).
+      lonlats: list of (lon, lat) used for output file names.
+      outdir:  directory for the reference-format npz chain files.
+      runN, chainL, seed, priori: as in Point.MCinvMP.
+      mesh:    optional jax Mesh with a "points" axis; default = all
+               local devices.
+
+    Returns the list of written file paths.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from pysurfinv_tpu.inversion.compiled import BrownianSpec, CompiledModel
+    from pysurfinv_tpu.inversion.mcmc import ChainConfig, make_chain_kernel
+    from pysurfinv_tpu.parallel.mesh import points_mesh
+
+    if priori and outdir.split("_")[-1] != "priori":
+        outdir = "_".join((outdir, "priori"))
+    t0 = time.time()
+    K = len(points)
+    cm = CompiledModel(points[0].initMod)
+
+    # ---- per-point parameter stacks ------------------------------------
+    specs = [cm.spec_of(p.initMod) for p in points]
+    spec = BrownianSpec(*[jnp.stack([getattr(s, f) for s in specs])
+                          for f in BrownianSpec._fields])
+    psi = jnp.stack([cm.psi_of(p.initMod) for p in points])
+
+    # ---- per-point observations (padded to the longest period list) ----
+    Ts = [np.asarray(p.obs["T"], dtype=float) for p in points]
+    P_max = max(len(t) for t in Ts)
+    periods = np.zeros((K, P_max))
+    obs_c = np.zeros((K, P_max))
+    uncer = np.ones((K, P_max))
+    obs_m = np.zeros((K, P_max), dtype=bool)
+    for k, p in enumerate(points):
+        n = len(Ts[k])
+        periods[k, :n] = Ts[k]
+        periods[k, n:] = Ts[k][-1]  # padded periods solve but are masked
+        cO = np.ma.masked_array(np.asarray(p.obs["c"], dtype=float))
+        mask = ~np.ma.getmaskarray(cO) & np.ones(n, bool)
+        obs_c[k, :n] = np.where(mask, cO.filled(0.0), 0.0)
+        uncer[k, :n] = np.asarray(p.obs["uncer"], dtype=float)
+        obs_m[k, :n] = mask
+    periods, obs_c, uncer, obs_m = map(jnp.asarray,
+                                       (periods, obs_c, uncer, obs_m))
+
+    # ---- kernel ----------------------------------------------------------
+    def isgood(theta, ctx):
+        return cm.isgood(theta, ctx[0])
+
+    def chi_sqr(theta, ctx):
+        psi_k, per_k, c_k, u_k, m_k = ctx
+        cP = cm.forward(theta, per_k, psi=psi_k, wave=wave)
+        ok = jnp.all(jnp.where(m_k, cP >= 0.01, True))
+        N = jnp.maximum(jnp.sum(m_k), 1)
+        chi = jnp.sum(jnp.where(m_k, ((c_k - cP) / u_k) ** 2, 0.0))
+        misfit = jnp.sqrt(chi / N)
+        chi = jnp.where(chi < 50, chi, jnp.sqrt(chi * 50.0))
+        L = jnp.exp(-0.5 * chi)
+        return (jnp.where(ok, misfit, 88888.0),
+                jnp.where(ok, chi, 88888.0),
+                jnp.where(ok, L, 0.0))
+
+    cfg = ChainConfig(chain_len=chainL, priori=priori)
+    kernel = make_chain_kernel(isgood, chi_sqr, cfg)
+    n_chains = runN // chainL
+
+    def point_fn(key, spec_k, ctx_k):
+        keys = jax.random.split(key, n_chains)
+        use_init = jnp.arange(n_chains) == 0
+        return jax.vmap(lambda kk, ui: kernel(kk, spec_k, ctx_k,
+                                              spec_k.theta0, ui))(keys,
+                                                                  use_init)
+
+    mesh = mesh or points_mesh()
+    n_dev = mesh.devices.size
+    pad = (-K) % n_dev  # pad the point axis to the device count
+    shard = NamedSharding(mesh, P("points"))
+
+    def padk(x):
+        if pad == 0:
+            return x
+        reps = jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)])
+        return reps
+
+    ctx = (padk(psi), padk(periods), padk(obs_c), padk(uncer), padk(obs_m))
+    spec_p = BrownianSpec(*[padk(getattr(spec, f))
+                            for f in BrownianSpec._fields])
+    keys = jax.random.split(jax.random.PRNGKey(seed), K + pad)
+    put = lambda x: jax.device_put(x, shard)  # noqa: E731
+    ctx = jax.tree.map(put, ctx)
+    spec_p = jax.tree.map(put, spec_p)
+    keys = put(keys)
+
+    run_all = jax.jit(jax.vmap(point_fn))
+    with mesh:
+        tracks = run_all(keys, spec_p, ctx)
+        tracks.block_until_ready()
+    tracks = np.asarray(tracks)[:K]  # (K, n_chains, chainL, 3 + ntheta)
+
+    # ---- write reference-format npz per point ---------------------------
+    os.makedirs(outdir, exist_ok=True)
+    paths = []
+    for k, (lon, lat) in enumerate(lonlats):
+        mcTrack = tracks[k].reshape(runN, -1)
+        pid = f"{lon:g}_{lat:g}"
+        np.savez_compressed(
+            f"{outdir}/{pid}.npz", mcTrack=mcTrack,
+            setting=dict(points[k].initMod.toYML()), obs=points[k].obs,
+            invMeta={"pid": pid, "chainL": chainL})
+        paths.append(f"{outdir}/{pid}.npz")
+    if verbose:
+        print(f"invert_grid: {K} points x {n_chains} chains x {chainL} "
+              f"steps in {time.time() - t0:.1f}s on {n_dev} device(s)")
+    return paths

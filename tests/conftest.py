@@ -7,6 +7,7 @@ import os
 # with a virtual 8-device mesh for sharding tests (SURVEY.md §4.5) and
 # float64 so golden comparisons are exact.
 os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.setdefault("PYSURFINV_SCAN_UNROLL", "1")  # keep compiles fast
 if "--xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
     os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                                + " --xla_force_host_platform_device_count=8")

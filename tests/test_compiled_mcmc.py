@@ -1,0 +1,112 @@
+"""Compiled model + vmapped MCMC end-to-end on the Cascadia fixture.
+
+The observation fixture is the reference's example point
+(``/root/reference/point.py:400-410``).
+"""
+
+import numpy as np
+import pytest
+
+SETTING = {
+    "OceanWater": {"H": 2},
+    "OceanSedimentCascadia": {"H": [1, "rel_pos", 100, 0.1]},
+    "OceanCrust": {"H": 7, "Vs": [3.25, 3.94]},
+    "OceanMantleHybrid": {
+        "BottomDepth": 200, "Conversion": "Ritzwoller",
+        "ThermAge": [4, "rel_pos", 200, 0.4],
+        "Vs": [[0, "abs", 0.4, 0.01], [0, "abs", 0.4, 0.01],
+               [0, "abs", 0.4, 0.01], [0, "abs", 0.2, 0.01]],
+    },
+    "Info": {"modelType": "CascadiaOcean", "period": 10,
+             "refLayer": True, "lithoAgeQ": True},
+}
+LOCAL = {"topo": -2.567706, "lithoAge": 0.6, "sedthk": 0.019,
+         "mantleInitParmVs": [-0.3426920324186606, -0.1863907997418917,
+                              -0.1882828662382096, -0.05648363217566826]}
+PERIODS = [10, 12, 14, 16, 18, 20, 22, 24, 26, 28, 30, 32, 36, 40, 50, 60,
+           70, 80]
+VELS = [3.5724066175576223, 3.6222019289297043, 3.6520621581430763,
+        3.6588731735179367, 3.673255450218663, 3.683443600610537,
+        3.6844591498161896, 3.689993791502759, 3.6935745493241487,
+        3.696092260762209, 3.707185398688356, 3.7148258328900985,
+        3.7209668755498257, 3.7486729577980427, 3.7706463827824748,
+        3.82144353111797, 3.8603954933518914, 3.9030011211762767]
+UNCERS = [0.006550350458769691, 0.005, 0.005, 0.005, 0.005, 0.005, 0.005,
+          0.005, 0.005, 0.005, 0.005, 0.005499996722895128,
+          0.00751713560920708, 0.007910350806141024, 0.007711019920661203,
+          0.010152973423528881, 0.01062776863809981, 0.015829560954127662]
+
+
+@pytest.fixture(scope="module")
+def point():
+    from pysurfinv_tpu.inversion.point import PointCascadia
+    return PointCascadia(SETTING, LOCAL, periods=PERIODS, vels=VELS,
+                         uncers=UNCERS)
+
+
+@pytest.fixture(scope="module")
+def cm(point):
+    from pysurfinv_tpu.inversion.compiled import CompiledModel
+    return CompiledModel(point.initMod)
+
+
+def test_compiled_forward_matches_host(point, cm):
+    """The frozen-structure jit path reproduces the host object path."""
+    import jax.numpy as jnp
+    host = point.initMod.forward(periods=PERIODS)
+    assert host is not None
+    dev = np.asarray(cm.forward(cm.spec.theta0,
+                                jnp.asarray(np.array(PERIODS, float))))
+    assert np.all(dev > 0)
+    assert np.abs(dev - host).max() < 2e-4  # same physics, same grids
+
+
+def test_compiled_profile_finite(cm):
+    h, vp, vs, rho, qsinv, nlay = [np.asarray(x) if not isinstance(x, int)
+                                   else x
+                                   for x in cm.build_profile(cm.spec.theta0)]
+    assert np.isfinite(h).all() and np.isfinite(vs).all()
+    assert (h >= 0).all()
+    assert nlay <= cm.L
+
+
+def test_isgood_compiled_vs_host(point, cm):
+    """Device prior agrees with the host prior on random draws."""
+    import jax
+    rng = np.random.default_rng(1)
+    spec = cm.spec
+    vmin, vmax = np.asarray(spec.vmin), np.asarray(spec.vmax)
+    agree, n = 0, 12
+    for i in range(n):
+        theta = vmin + rng.random(len(vmin)) * (vmax - vmin)
+        dev = bool(jax.jit(cm.isgood)(theta))
+        mod = point.initMod.copy()
+        mod._loadMC(theta)
+        host = bool(mod.isgood())
+        agree += int(dev == host)
+    assert agree >= n - 1  # boundary cases may differ by float details
+
+
+def test_mcinv_mp_end_to_end(point, tmp_path):
+    """Tiny vmapped inversion -> reference npz format -> PostPoint."""
+    from pysurfinv_tpu.inversion.point import PostPoint
+    outdir = str(tmp_path / "mc")
+    point.MCinvMP(outdir=outdir, pid="229.8_47.0", runN=48, chainL=16,
+                  seed=1, verbose=False)
+    pp = PostPoint(f"{outdir}/229.8_47.0.npz")
+    assert pp.N == 48
+    assert np.isfinite(pp.misfits).all()
+    assert pp.accFinal.sum() >= 1
+    assert np.isfinite(pp.minMod.misfit)
+    # chain rows carry theta in _brownians order
+    assert pp.MCparas.shape[1] == len(point.initMod._brownians())
+
+
+def test_priori_mode(point, tmp_path):
+    outdir = str(tmp_path / "mcp")
+    point.MCinvMP(outdir=outdir, pid="p", runN=32, chainL=16, seed=2,
+                  priori=True, verbose=False)
+    import numpy as np
+    tr = np.load(f"{outdir}_priori/p.npz", allow_pickle=True)["mcTrack"]
+    assert tr.shape[0] == 32
+    assert (tr[:, 2] == 1).all()  # priori rows always "accepted"

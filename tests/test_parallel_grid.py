@@ -1,0 +1,74 @@
+"""Sharded grid inversion -> reference npz -> Model3D assembly.
+
+Exercises the TPU-native replacement for "one OS job per grid point"
+(SURVEY.md §2.2): 4 grid points with different localInfo, sharded over
+the 8-device virtual CPU mesh, then the full 3-D product chain.
+"""
+
+import numpy as np
+import pytest
+
+from tests.test_compiled_mcmc import LOCAL, PERIODS, SETTING, UNCERS, VELS
+
+
+def _mk_points():
+    from pysurfinv_tpu.inversion.point import PointCascadia
+    pts, lls = [], []
+    for lon, lat, sed in [(229.0, 46.0, 0.019), (229.5, 46.0, 0.25),
+                          (229.0, 46.5, 0.5), (229.5, 46.5, 1.0)]:
+        local = dict(LOCAL)
+        local["sedthk"] = sed
+        pts.append(PointCascadia(SETTING, local, periods=PERIODS, vels=VELS,
+                                 uncers=UNCERS))
+        lls.append((lon, lat))
+    return pts, lls
+
+
+@pytest.fixture(scope="module")
+def invdir(tmp_path_factory):
+    import jax
+    from pysurfinv_tpu.parallel.grid import invert_grid
+    from pysurfinv_tpu.parallel.mesh import points_mesh
+
+    assert len(jax.devices()) == 8  # conftest virtual mesh
+    outdir = str(tmp_path_factory.mktemp("grid") / "mcdata")
+    pts, lls = _mk_points()
+    paths = invert_grid(pts, lls, outdir=outdir, runN=24, chainL=8, seed=3,
+                        mesh=points_mesh(4), verbose=False)
+    assert len(paths) == 4
+    return outdir
+
+
+def test_chain_files_are_reference_format(invdir):
+    from pysurfinv_tpu.inversion.point import PostPoint
+    pp = PostPoint(f"{invdir}/229_46.npz")
+    assert pp.N == 24
+    assert np.isfinite(pp.misfits).all()
+    assert np.isfinite(pp.minMod.misfit)
+
+
+def test_model3d_pipeline(invdir):
+    from pysurfinv_tpu.geo.model3d import Model3D
+    m3 = Model3D()
+    m3.loadInvDir(invdir)
+    assert (~m3.mask).sum() == 4
+
+    vs50_map = m3.genVsMap(50.0)
+    assert np.isfinite(vs50_map.zMasked).sum() >= 4
+
+    # profile + section through the grid
+    prof = m3.vsProfile(np.array([10.0, 50.0, 150.0]), 46.25, 229.25)
+    assert np.isfinite(prof).all()
+    XX, YY, Z, moho, topo = m3.section(229.0, 46.0, 229.5, 46.5,
+                                       y=np.linspace(0, 180, 19))
+    assert Z.shape == (19, 301)
+    assert np.isfinite(Z).any()
+
+    # physical-grid smoothing (GMT surface replacement, on device)
+    m3.smoothGrid(width=60, nGridsDict={"water": 2, "sediment": 4,
+                                        "crust": 8, "mantle": 24})
+    vs50b = m3.genVsMap(50.0)
+    assert np.isfinite(vs50b.zMasked).sum() >= 4
+
+    qc = m3.checkPhaseVelocity(pers=[10, 50])
+    assert set(qc.keys()) == {10, 50}
