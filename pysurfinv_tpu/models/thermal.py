@@ -201,26 +201,36 @@ def _sig_P(Tn):
 
 
 def yata_anelasticity(T, P, period, Tm="Takei2017"):
-    """(J1, J2) compliances (ThermSeis.py:324-412)."""
+    """(J1, J2) compliances (ThermSeis.py:324-412).
+
+    The Arrhenius viscosity spans ~1e18..1e76 Pa s over the temperature
+    range of an oceanic plate — far outside float32 range at cold/shallow
+    nodes — so everything downstream of it is computed in log space:
+    ``eta`` is never materialized, only ``log(tau_ns)`` and
+    ``lnr = log(tau_np) - log(tau_ns)`` are, and ``tau_ns ** alpha``
+    becomes ``exp(alpha * log_tau_ns)`` (underflows harmlessly to 0 where
+    the relaxed compliance is genuinely negligible).
+    """
     E, R, V = 4.625e5, 8.314, 7.913e-6
     etaR, TR, PR = 6.22e21, 1200 + C2K, 1.5e9
     A_B, tau_np, alpha = 0.664, 6e-5, 0.38
 
     Tn = T / solidus(P, Tm)
     mu_U = (72.45 - 0.01094 * (T - C2K) + 1.75 * P * 1e-9) * 1e9
-    eta = (etaR * jnp.exp(E / R * (1 / T - 1 / TR))
-           * jnp.exp(V / R * (P / T - PR / TR)) * _A_eta(Tn))
-    tau_M = eta / mu_U
-    tau_ns = period / (2 * jnp.pi * tau_M)
+    log_eta = (jnp.log(etaR) + E / R * (1 / T - 1 / TR)
+               + V / R * (P / T - PR / TR) + jnp.log(_A_eta(Tn)))
+    log_tau_M = log_eta - jnp.log(mu_U)
+    log_tau_ns = jnp.log(period / (2 * jnp.pi)) - log_tau_M
+    tau_ns_alpha = jnp.exp(alpha * log_tau_ns)
 
     ap, sp = _A_P(Tn), _sig_P(Tn)
-    lnr = jnp.log(tau_np / tau_ns)
-    J1b = A_B * tau_ns**alpha / alpha
+    lnr = jnp.log(tau_np) - log_tau_ns
+    J1b = A_B * tau_ns_alpha / alpha
     J1p = (jnp.sqrt(2 * jnp.pi) / 2 * ap * sp
            * (1 - erf(lnr / (jnp.sqrt(2.0) * sp))))
-    J2b = jnp.pi / 2 * A_B * tau_ns**alpha
+    J2b = jnp.pi / 2 * A_B * tau_ns_alpha
     J2p = jnp.pi / 2 * ap * jnp.exp(-((lnr / (jnp.sqrt(2.0) * sp)) ** 2))
-    J2e = tau_ns
+    J2e = jnp.exp(log_tau_ns)
     return 1.0 + J1b + J1p, J2b + J2p + J2e
 
 
@@ -230,6 +240,9 @@ def yata_vs_qs(T, P, rho, period=50.0, Tm="Takei2017", mu_P=1.987):
     J1, J2 = yata_anelasticity(T, P, period, Tm)
     vs = 1.0 / jnp.sqrt(rho * Ju * J1) / 1000.0
     vs_unrelaxed = 1.0 / jnp.sqrt(rho * Ju) / 1000.0
+    # J2 underflows to 0 at cold nodes in f32 (the plate is elastic
+    # there); floor it so Qs stays finite and qsinv = 1/Qs -> 0 cleanly.
+    J2 = jnp.maximum(J2, jnp.asarray(1e-30, J2.dtype))
     return vs, J1 / J2, vs_unrelaxed
 
 

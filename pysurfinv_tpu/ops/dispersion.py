@@ -2,23 +2,29 @@
 
 Replaces the reference's sequential bracket + Neville refinement
 (``/root/reference/fast_surf_src/calcul.f:104-223``,
-``surfa.f:2-83``) with a TPU-friendly scheme:
+``surfa.f:2-83``) with a TPU-friendly three-phase scheme:
 
-  1. per period, evaluate the secular function on a fine c-grid
-     (step ``dc = 0.01``, like the reference bracket step) *in parallel*
-     and take the first sign change — this preserves the reference's
-     guarantee of landing on the fundamental (lowest) root;
-  2. refine with a fixed-iteration bisection whose halfspace truncation
-     is frozen at the bracket's upper end, matching how NEVILL inherits
-     ``mmax`` from the last bracketing evaluation (calcul.f:156-172);
-  3. warm-start each period from 0.9x the previous root and each
-     overtone from just above the previous mode's root
-     (calcul.f:138-151), keeping mode identification intact;
-  4. group velocity comes from implicit differentiation of the secular
-     function at the root, u = c / (1 - (T/c) * F_T / F_c), with the
-     attenuated+flattened model held fixed — the exact continuum limit of
-     the reference's eigenfunction energy integrals (surfa.f LEIGEN /
-     REIGEN), evaluated by ``jax.grad`` instead of RK4 sweeps.
+  1. **Bracket (sequential over periods, wide over the c-grid):** per
+     period, evaluate the secular function on a coarse c-grid *in
+     parallel*, take the first sign change, and narrow it to a ``dc``
+     cell — preserving the reference's guarantee of landing on the
+     fundamental (lowest) root.  Each period warm-starts just below the
+     previous period's bracket; each overtone starts just above the
+     previous mode's root (calcul.f:138-151).
+  2. **Refine (parallel over all (period, mode) lanes):** a single
+     fixed-iteration Illinois (regula-falsi) loop refines every bracket
+     at once.  The halfspace truncation is frozen at each bracket's
+     upper end, matching how NEVILL inherits ``mmax`` from the last
+     bracketing evaluation (calcul.f:156-172).  This is the key perf
+     move vs a per-period refinement: the refinement's sequential depth
+     drops by a factor of P (periods no longer serialize the many
+     small secular evaluations).
+  3. **Group velocity (parallel):** implicit differentiation of the
+     secular function at the root, u = c / (1 - (T/c) * F_T / F_c),
+     with the attenuated+flattened model held fixed — the exact
+     continuum limit of the reference's eigenfunction energy integrals
+     (surfa.f LEIGEN / REIGEN), evaluated by ``jax.grad`` instead of
+     RK4 sweeps, for all lanes in one vmapped pass.
 
 Everything is shape-static and branch-free, so ``jax.vmap`` over models
 turns the whole solve into wide VPU lanes.
@@ -47,20 +53,31 @@ H_MIN = 1e-3  # thin-layer threshold, models.py:20 of the reference
 class SurfConfig(NamedTuple):
     """Static solver configuration (defaults mirror fast_surf/init.f:25)."""
 
-    dc: float = 0.01          # bracket step
+    dc: float = 0.01          # bracket step (final bracket is one dc cell)
     nscan_first: int = 512    # c-grid coverage (in dc), first period
-    nscan: int = 120          # c-grid coverage (in dc), warm-started periods
-    nbisect: int = 14         # Illinois refinement iterations (supra-linear;
-    #                           reference NEVILL tolerance is 1e-6, surfa.f:10)
-    two_stage: bool = True    # coarse 4*dc scan + fine dc scan of the hit
-    #                           cell. Safe for consecutive-mode searches: no
-    #                           roots exist between the warm start and the
-    #                           target root, so the first coarse sign change
-    #                           brackets it unless the NEXT mode lies within
-    #                           4*dc (0.04 km/s) of the target — tighter than
-    #                           typical mode separation; the reference's own
-    #                           dc stepping has the same failure class at
-    #                           0.01 km/s.
+    nscan: int = 64           # c-grid coverage (in dc), warm-started periods
+    nbisect: int = 12         # Illinois refinement iterations. From a dc-wide
+    #                           bracket, Illinois' supra-linear convergence
+    #                           reaches well past the reference NEVILL
+    #                           tolerance of 1e-6 (surfa.f:10) in ~10 steps.
+    coarse: int = 2           # warm-period sweep step, in dc.  The sweep
+    #                           narrows its hit cell back to dc, so the only
+    #                           failure class is a *pair* of roots inside one
+    #                           coarse cell (no net sign change) — possible
+    #                           only when the NEXT mode lies within coarse*dc
+    #                           of the target, tighter than typical mode
+    #                           separation; the reference's own dc stepping
+    #                           has the same failure class at 0.01 km/s.
+    #                           Overtone sweeps always run at dc.
+    coarse_first: int = 4     # cold-period (first-period) sweep step, in dc;
+    #                           the cold sweep spans up to 5 km/s (water top
+    #                           starts at c = 0.5), so it pays to be coarser;
+    #                           the fundamental is well separated from mode 1
+    #                           at short periods.
+    warm_backoff: int = 10    # warm start = previous bracket lo minus this
+    #                           many dc — guards mildly non-monotonic c(T)
+    #                           (the reference seeds *at* the previous root
+    #                           and assumes monotone-up, calcul.f:190-200)
     fact: float = 4.0         # halfspace truncation, wavelengths
     t_base: float = 1.0       # physical-dispersion reference period
     atten: bool = True        # KEY_ATTEN (init.f:43)
@@ -110,49 +127,55 @@ def _first_flip(F, cs, t, mdl, nlay, cfg):
     return i, found, mms
 
 
-def _find_root(F, c_start, t, mdl, nlay, cfg: SurfConfig, nscan: int,
-               two_stage: bool = False):
-    """First sign change above ``c_start``, then Illinois refinement.
+def _bracket(F, c_start, t, mdl, nlay, cfg: SurfConfig, nscan: int,
+             coarse: int):
+    """First sign change above ``c_start``, narrowed to a dc-wide cell.
 
-    Replaces the reference's dc-stepping + Neville table
-    (calcul.f:156-172, surfa.f:2-83) with (optionally) a coarse 4*dc scan
-    narrowed by a fine dc scan, then a fixed-iteration Illinois
-    (regula-falsi) refinement — supra-linear, bracket-preserving, and
-    uniform across lanes.  Returns (root, found, mmax_frozen).
+    Sweeps a ``coarse * dc`` grid spanning ``nscan * dc``, then re-scans
+    the hit cell at ``dc``.  Returns ``(c_lo, found, mm)`` where the
+    root lies in ``[c_lo, c_lo + dc]`` and ``mm`` is the halfspace
+    truncation frozen at the bracket's upper end (the NEVILL
+    convention, calcul.f:156-172).
     """
     dc = cfg.dc
-    b = mdl[1]
     dtype = c_start.dtype
-
-    if two_stage:
-        # coarse 2*dc grid, then dc-refine the first flipped cell.  2*dc
-        # keeps the hidden-pair window at 0.02 km/s (the truncation-jump
-        # artifacts that 4*dc occasionally swallowed, ~1e-3 of solves).
-        kc = max(nscan // 2, 1)
-        cs_c = c_start + (2 * dc) * jnp.arange(kc + 1, dtype=dtype)
-        ic, found_c, _ = _first_flip(F, cs_c, t, mdl, nlay, cfg)
-        fine_start = cs_c[ic]
-        cs = fine_start + dc * jnp.arange(3, dtype=dtype)
+    if coarse > 1:
+        k = max(nscan // coarse, 1)
+        cs = c_start + (coarse * dc) * jnp.arange(k + 1, dtype=dtype)
+        ic, found_c, _ = _first_flip(F, cs, t, mdl, nlay, cfg)
+        cs = cs[ic] + dc * jnp.arange(coarse + 1, dtype=dtype)
         i, found_f, mms = _first_flip(F, cs, t, mdl, nlay, cfg)
         found = found_c & found_f
     else:
         cs = c_start + dc * jnp.arange(nscan + 1, dtype=dtype)
         i, found, mms = _first_flip(F, cs, t, mdl, nlay, cfg)
+    # reject brackets whose root would sit above the halfspace shear
+    # velocity (calcul.f:191); c_lo <= b_hs keeps roots within one dc
+    b_hs = mdl[1][mms[i + 1] - 1]
+    found = found & (cs[i] <= b_hs)
+    return cs[i], found, mms[i + 1]
 
-    c_lo, c_hi = cs[i], cs[i + 1]
-    mm = mms[i + 1]  # NEVILL inherits mmax from the last bracket eval
 
-    f_lo = F(c_lo, t, mdl, mm)
-    f_hi = F(c_hi, t, mdl, mm)
+def _illinois(F_eval, lo, hi, n_iter: int):
+    """Fixed-iteration Illinois (regula falsi) on elementwise brackets.
 
-    def illinois(_, state):
+    ``F_eval`` maps a c array (same shape as ``lo``) to secular values;
+    all state updates are elementwise ``where`` masks, so this runs any
+    number of lanes in lockstep — scalars in phase 1's mini-refine, the
+    full (period, mode) lane set in phase 2.
+    """
+    f_lo = F_eval(lo)
+    f_hi = F_eval(hi)
+    side0 = jnp.zeros(jnp.shape(lo), jnp.int32)
+
+    def step(_, state):
         lo, hi, flo, fhi, side = state
         denom = fhi - flo
         denom = jnp.where(jnp.abs(denom) > 0, denom, 1.0)
         x = (lo * fhi - hi * flo) / denom
         bad = ~((x > lo) & (x < hi))
         x = jnp.where(bad, 0.5 * (lo + hi), x)
-        fx = F(x, t, mdl, mm)
+        fx = F_eval(x)
         same_lo = _sign(fx) == _sign(flo)
         nlo = jnp.where(same_lo, x, lo)
         nflo = jnp.where(same_lo, fx, flo)
@@ -164,15 +187,11 @@ def _find_root(F, c_start, t, mdl, nlay, cfg: SurfConfig, nscan: int,
         side = jnp.where(same_lo, jnp.int32(-1), jnp.int32(1))
         return nlo, nhi, nflo, nfhi, side
 
-    lo, hi, flo, fhi, _ = lax.fori_loop(
-        0, cfg.nbisect, illinois,
-        (c_lo, c_hi, f_lo, f_hi, jnp.zeros((), jnp.int32)))
+    lo, hi, flo, fhi, _ = lax.fori_loop(0, n_iter, step,
+                                        (lo, hi, f_lo, f_hi, side0))
     denom = jnp.where(jnp.abs(fhi - flo) > 0, fhi - flo, 1.0)
     root = (lo * fhi - hi * flo) / denom
-    root = jnp.clip(root, lo, hi)
-    # root must not exceed the halfspace shear velocity (calcul.f:191)
-    found = found & (root <= b[mm - 1])
-    return root, found, mm
+    return jnp.clip(root, lo, hi)
 
 
 def _group_velocity(F, root, t, mdl, mm):
@@ -205,6 +224,13 @@ def _initial_c(h, vs, qsinv, nlay, t1, wave, cfg: SurfConfig):
               if cfg.atten else 0.0)
     c1 = qq * (1.0 + b_corr)
     return jnp.where(water_top, jnp.asarray(0.5, c1.dtype), c1)
+
+
+def _mode_chain(ok):
+    """Mode ordering: mode m is only valid if modes < m were found."""
+    return ok & jnp.concatenate(
+        [jnp.ones((1,), bool),
+         jnp.cumprod(ok[:-1].astype(jnp.int32)).astype(bool)])
 
 
 @partial(jax.jit, static_argnames=("wave", "cfg"))
@@ -245,66 +271,90 @@ def surf_forward(h, vp, vs, rho, qsinv, periods, nlay,
     F = _secular_fn(wave)
     nmodes = cfg.nmodes
     P = periods.shape[0]
+    dc = cfg.dc
 
-    def solve_period(t, starts, nscan):
-        """Find all modes at one period given per-mode start velocities."""
+    # ================= phase 1: bracket every (period, mode) ============
+    def bracket_period(t, starts, nscan, coarse0):
+        """dc-wide brackets for all modes at one period."""
         mdl = _model_at_period(t, vp, vs, rho, qsinv, fac, cfg)
-        roots, founds, us = [], [], []
-        prev_root = None
+        c_los, mms, founds = [], [], []
+        root_est = None
         for iq in range(nmodes):
             start = starts[iq]
             if iq > 0:
                 # overtones never start below the previous mode's root
-                # (calcul.f:145-151, 199)
-                start = jnp.maximum(start, prev_root + 0.01 * cfg.dc)
-            # two-stage scanning only for the fundamental: overtones can
-            # osculate (< 4*dc apart, e.g. TEST1 R/L mode 1 at T = 20 s)
-            root, found, mm = _find_root(F, start, t, mdl, nlay, cfg, nscan,
-                                         two_stage=cfg.two_stage
-                                         and iq == 0)
-            u = (_group_velocity(F, root, t, mdl, mm)
-                 if cfg.compute_group else jnp.zeros_like(root))
-            roots.append(root)
+                # (calcul.f:145-151, 199); coarse sweeps are reserved for
+                # the fundamental — overtones can osculate (< coarse*dc
+                # apart, e.g. TEST1 R/L mode 1 at T = 20 s)
+                start = jnp.maximum(start, root_est + 0.01 * dc)
+            c_lo, found, mm = _bracket(F, start, t, mdl, nlay, cfg, nscan,
+                                       coarse0 if iq == 0 else 1)
+            if iq < nmodes - 1:
+                # cheap root estimate anchoring the next overtone's start
+                root_est = _illinois(lambda c: F(c, t, mdl, mm),
+                                     c_lo, c_lo + dc, 6)
+            c_los.append(c_lo)
+            mms.append(mm)
             founds.append(found)
-            us.append(u)
-            prev_root = root
-        return (jnp.stack(roots), jnp.stack(us), jnp.stack(founds))
+        return jnp.stack(c_los), jnp.stack(mms), jnp.stack(founds)
 
     # ---- first period: cold start from the top-layer estimate ----------
     t1 = periods[0]
     c_init = _initial_c(h_eff, vs, qsinv, nlay, t1, wave, cfg)
     starts0 = jnp.full((nmodes,), c_init, dtype=dtype)
-    c0, u0, ok0 = solve_period(t1, starts0, cfg.nscan_first)
-    ok0 = ok0 & jnp.concatenate([jnp.ones((1,), bool),
-                                 jnp.cumprod(ok0[:-1].astype(jnp.int32)).astype(bool)]) \
-        if nmodes > 1 else ok0
+    lo0, mm0, ok0 = bracket_period(t1, starts0, cfg.nscan_first,
+                                   cfg.coarse_first)
+    if nmodes > 1:
+        ok0 = _mode_chain(ok0)
 
-    # ---- remaining periods: warm-started scan ---------------------------
+    # ---- remaining periods: warm-started sweeps -------------------------
     def step(carry, t):
-        c_prev, alive = carry
-        starts = [0.9 * c_prev[0]]
-        for iq in range(1, nmodes):
-            starts.append(c_prev[iq])
-        ck, uk, okk = solve_period(t, starts, cfg.nscan)
+        c_start, alive = carry
+        lok, mmk, okk = bracket_period(t, c_start, cfg.nscan, cfg.coarse)
         okk = okk & alive
         if nmodes > 1:
-            okk = okk & jnp.concatenate(
-                [jnp.ones((1,), bool),
-                 jnp.cumprod(okk[:-1].astype(jnp.int32)).astype(bool)])
-        c_new = jnp.where(okk, ck, c_prev)
-        return (c_new, okk), (ck, uk, okk)
+            okk = _mode_chain(okk)
+        new_start = jnp.where(okk, lok - cfg.warm_backoff * dc, c_start)
+        return (new_start, okk), (lok, mmk, okk)
 
     if P > 1:
-        (_, _), (cr, ur, okr) = lax.scan(step, (c0, ok0), periods[1:])
-        c = jnp.concatenate([c0[None], cr], axis=0)
-        u = jnp.concatenate([u0[None], ur], axis=0)
+        carry0 = (jnp.where(ok0, lo0 - cfg.warm_backoff * dc, starts0), ok0)
+        _, (lor, mmr, okr) = lax.scan(step, carry0, periods[1:])
+        c_lo = jnp.concatenate([lo0[None], lor], axis=0)   # (P, nmodes)
+        mm = jnp.concatenate([mm0[None], mmr], axis=0)
         ok = jnp.concatenate([ok0[None], okr], axis=0)
     else:
-        c, u, ok = c0[None], u0[None], ok0[None]
+        c_lo, mm, ok = lo0[None], mm0[None], ok0[None]
 
-    c = jnp.where(ok, c, 0.0)
-    u = jnp.where(ok, u, 0.0)
-    return c, u, ok
+    # ================= phase 2: refine all lanes in parallel ============
+    t_l = jnp.repeat(periods, nmodes)                       # (P*nmodes,)
+    lo_l = c_lo.reshape(-1)
+    mm_l = mm.reshape(-1)
+    ok_l = ok.reshape(-1)
+
+    mdls = jax.vmap(
+        lambda t: _model_at_period(t, vp, vs, rho, qsinv, fac, cfg))(t_l)
+    F_lane = jax.vmap(lambda c, t, a, b, r, d, m: F(c, t, (a, b, r, d), m))
+
+    def F_eval(c):
+        return F_lane(c, t_l, *mdls, mm_l)
+
+    root_l = _illinois(F_eval, lo_l, lo_l + dc, cfg.nbisect)
+    # root must not exceed the halfspace shear velocity (calcul.f:191)
+    b_hs_l = jnp.take_along_axis(mdls[1], (mm_l - 1)[:, None], axis=1)[:, 0]
+    ok_l = ok_l & (root_l <= b_hs_l)
+
+    # ================= phase 3: group velocity in parallel ==============
+    if cfg.compute_group:
+        u_l = jax.vmap(
+            lambda c, t, a, b, r, d, m: _group_velocity(
+                F, c, t, (a, b, r, d), m))(root_l, t_l, *mdls, mm_l)
+    else:
+        u_l = jnp.zeros_like(root_l)
+
+    c_out = jnp.where(ok_l, root_l, 0.0).reshape(P, nmodes)
+    u_out = jnp.where(ok_l, u_l, 0.0).reshape(P, nmodes)
+    return c_out, u_out, ok_l.reshape(P, nmodes)
 
 
 @partial(jax.jit, static_argnames=("wave", "cfg"))

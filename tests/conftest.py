@@ -1,20 +1,20 @@
 """Test configuration: CPU backend, 8 virtual devices, float64, jit cache."""
 
 import os
+import sys
 
-# Must be set before jax import: tests always run on CPU (the session
-# environment may point JAX_PLATFORMS at a tunnelled TPU — force it off),
-# with a virtual 8-device mesh for sharding tests (SURVEY.md §4.5) and
-# float64 so golden comparisons are exact.
-os.environ["JAX_PLATFORMS"] = "cpu"
+# Tests always run on CPU with a virtual 8-device mesh for sharding tests
+# (SURVEY.md §4.5) and float64 so golden comparisons are exact.  The
+# session environment may point JAX at a tunnelled TPU in a way that
+# ignores JAX_PLATFORMS — testing.force_cpu is the one robust switch.
 os.environ.setdefault("PYSURFINV_SCAN_UNROLL", "1")  # keep compiles fast
-if "--xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
-    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
-                               + " --xla_force_host_platform_device_count=8")
 
-import jax  # noqa: E402
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-jax.config.update("jax_enable_x64", True)
+from pysurfinv_tpu.testing import force_cpu  # noqa: E402
+
+jax = force_cpu(n_devices=8, x64=True)
+
 jax.config.update("jax_compilation_cache_dir", "/tmp/pysurfinv_tpu_jit_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
