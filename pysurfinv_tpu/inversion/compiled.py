@@ -135,6 +135,18 @@ class CompiledModel:
         self.L = int(-(-n_rows // pad_align) * pad_align)
 
         self._grp_ids_main = _codes(self.grp_nodes[: self._n_nodes_main])
+        # node -> main-layer index + layer node spans, for the traced
+        # thin-layer (h < 0.01) drop that mirrors seisPropGrids'
+        # hLowerLimit compaction (models.py:80)
+        starts = np.concatenate(
+            [[0], np.cumsum(self._node_counts[: self._n_main])])[:-1]
+        self._node_starts_main = starts.astype(np.int32)
+        self._node_ends_main = (
+            starts + np.array(self._node_counts[: self._n_main]) - 1
+        ).astype(np.int32)
+        self._layer_of_node_main = np.repeat(
+            np.arange(self._n_main, dtype=np.int32),
+            self._node_counts[: self._n_main])
         self._cfg = SurfConfig()
 
     # ---- per-point parameter extraction --------------------------------
@@ -266,12 +278,19 @@ class CompiledModel:
         crust = jnp.asarray(self.grp_nodes[:n] == "crust")
         mantle = jnp.asarray(self.grp_nodes[:n] == "mantle")
 
+        # traced thin-layer drop: the host path checks the compacted
+        # grid (layers with current H < 0.01 removed, models.py:80);
+        # nodes of dropped layers must not participate in any prior
+        h_layer = (z[jnp.asarray(self._node_ends_main)]
+                   - z[jnp.asarray(self._node_starts_main)])
+        keep = (h_layer > 0.01)[jnp.asarray(self._layer_of_node_main)]
+
         checks = [
-            jnp.all(jnp.where(sed, vs >= 0.2, True)),
-            P.jnp_group_jumps_positive(vs, grp),
+            jnp.all(jnp.where(sed & keep, vs >= 0.2, True)),
+            P.jnp_group_jumps_positive(vs, grp, keep=keep),
             # non-strict: see models/model1d.py monoNonDecrease rationale
-            P.jnp_mono_increase(vs, sed, eps=-1e-12),
-            P.jnp_mono_increase(vs, crust, eps=-1e-12),
+            P.jnp_mono_increase(vs, sed & keep, eps=-1e-12),
+            P.jnp_mono_increase(vs, crust & keep, eps=-1e-12),
             (vs[-1] - vs[-2]) / jnp.maximum(z[-1] - z[-2], 1e-9) > 0,
         ]
         model_type = type(self.model).__name__

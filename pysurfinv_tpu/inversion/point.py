@@ -300,14 +300,55 @@ class PostPoint(Point):
     def _loadValues(self, indVars="all", zdeps=None, indSteps=None,
                     priori=False):
         if zdeps is not None:
-            vals = [mod.value(zdeps)
-                    for mod in self._model_generator(indSteps, priori=priori)]
-            return np.array(vals).T
+            if indSteps is None:
+                indSteps = (np.where(self.accFinal)[0] if not priori
+                            else range(len(self.misfits)))
+            mcParas = self.MCparas if not priori else self.MCparas_pri
+            thetas = np.asarray(mcParas[np.asarray(list(indSteps), int)],
+                                float)
+            try:
+                return self._batched_values(np.asarray(zdeps, float), thetas)
+            except Exception:  # exotic custom layers: host fallback
+                vals = [mod.value(zdeps) for mod in
+                        self._model_generator(indSteps, priori=priori)]
+                return np.array(vals).T
         indVars = (range(len(self.initMod._brownians()))
                    if indVars == "all" else indVars)
         mcParas = (self.MCparas[self.accFinal] if not priori
                    else self.MCparas_pri[self.accFinal])
         return np.array([mc[list(indVars)] for mc in mcParas]).T
+
+    def _batched_values(self, zdeps, thetas, chunk=2048):
+        """Vs(zdeps) for a stack of MC parameter vectors, vmapped.
+
+        Replaces the reference's Pool(20).map over per-model rebuilds
+        (point.py:319-326) with chunked ``vmap`` of the compiled model's
+        grid builder + interpolation — a 24k-step chain evaluates in
+        seconds instead of minutes.  Returns (len(zdeps), n_models).
+        """
+        import jax
+        import jax.numpy as jnp
+
+        from pysurfinv_tpu.inversion.compiled import CompiledModel
+
+        if getattr(self, "_cm_post", None) is None:
+            self._cm_post = CompiledModel(self.initMod)
+        cm = self._cm_post
+        zj = jnp.asarray(zdeps)
+
+        n = cm._n_nodes_main  # value() interpolates refLayer=False grids
+
+        @jax.jit
+        def batch(th):
+            def one(theta):
+                z, vs, *_ = cm.build_grids(theta)
+                return jnp.interp(zj, z[:n], vs[:n],
+                                  left=jnp.nan, right=jnp.nan)
+            return jax.vmap(one)(th)
+
+        outs = [np.asarray(batch(jnp.asarray(thetas[i:i + chunk])))
+                for i in range(0, len(thetas), chunk)]
+        return np.concatenate(outs, axis=0).T
 
     # ---- plots (point.py:177-304) ---------------------------------------
     def plotDisp(self, ax=None, ensemble=True):

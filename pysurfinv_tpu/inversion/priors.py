@@ -83,12 +83,29 @@ def jnp_mono_increase(v, mask, eps=None):
     return jnp.all(jnp.where(pair, dv >= eps, True))
 
 
-def jnp_group_jumps_positive(vs, grp_ids):
+def jnp_group_jumps_positive(vs, grp_ids, keep=None):
     """Vs jump at every group boundary is non-negative (Shen et al. 2012
-    constraint 5; models.py:585-588)."""
+    constraint 5; models.py:585-588).
+
+    With ``keep`` (bool mask of surviving nodes — the host path drops
+    layers thinner than 0.01 km before checking, models.py:80), the
+    comparison runs between consecutive *kept* nodes, exactly as on the
+    host's compacted grid.
+    """
+    import jax
     import jax.numpy as jnp
-    boundary = grp_ids[1:] != grp_ids[:-1]
-    return jnp.all(jnp.where(boundary, vs[1:] >= vs[:-1], True))
+    if keep is None:
+        boundary = grp_ids[1:] != grp_ids[:-1]
+        return jnp.all(jnp.where(boundary, vs[1:] >= vs[:-1], True))
+    n = vs.shape[0]
+    idx = jnp.arange(n)
+    arr = jnp.where(keep, idx, n)
+    suf = jnp.flip(jax.lax.cummin(jnp.flip(arr)))  # min kept index >= i
+    nxt = jnp.concatenate([suf[1:], jnp.full((1,), n)])  # strictly after i
+    valid = keep & (nxt < n)
+    j = jnp.clip(nxt, 0, n - 1)
+    boundary = valid & (grp_ids[j] != grp_ids)
+    return jnp.all(jnp.where(boundary, vs[j] >= vs, True))
 
 
 def jnp_local_extrema_oscillation(v, mask, limit):

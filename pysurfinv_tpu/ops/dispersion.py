@@ -84,6 +84,12 @@ class SurfConfig(NamedTuple):
     flat: bool = True         # KEY_FLAT  (init.f:45)
     nmodes: int = 1           # fundamental only by default
     compute_group: bool = True  # group velocity via implicit diff
+    backend: str = "auto"     # "auto" | "xla" | "pallas" |
+    #                           "pallas_interpret".  "auto" picks the
+    #                           fused Pallas secular kernel on TPU and
+    #                           the XLA scan elsewhere; only the batched
+    #                           entry point dispatches (single-model
+    #                           surf_forward is always XLA).
 
 
 def _secular_fn(wave: str):
@@ -195,7 +201,18 @@ def _illinois(F_eval, lo, hi, n_iter: int):
 
 
 def _group_velocity(F, root, t, mdl, mm):
-    """u = c / (1 - (T/c) F_T/F_c): implicit differentiation at the root."""
+    """u = c / (1 - (T/c) F_T/F_c): implicit differentiation at the root.
+
+    F_T is the partial period derivative at FIXED material properties
+    (the attenuated+flattened ``mdl`` is built outside and held
+    constant).  This matches the reference's convention exactly: its
+    group velocity is the variational dw/dk from energy integrals of
+    eigenfunctions computed for the model *at that period*
+    (``senskernel-1.0/src/SURF_PERTURB/surfa.f:715`` ugr=I1/(c I0) for
+    Love, ``:1331`` for Rayleigh) — no material-dispersion term.
+    (Empirically, adding the d(model)/dT chain shifts u by ~1e-3
+    relative and breaks TEST1 group parity.)
+    """
     f_c, f_t = jax.grad(F, argnums=(0, 1))(root, t, mdl, mm)
     f_c = jnp.where(jnp.abs(f_c) > 0, f_c, 1.0)
     return root / (1.0 - (t / root) * f_t / f_c)
@@ -357,12 +374,242 @@ def surf_forward(h, vp, vs, rho, qsinv, periods, nlay,
     return c_out, u_out, ok_l.reshape(P, nmodes)
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def surf_ellipticity(h, vp, vs, rho, qsinv, periods, nlay,
+                     cfg: SurfConfig = SurfConfig()):
+    """Rayleigh surface H/V ellipticity curves (DLTAR4 mup=2 capability).
+
+    Solves the dispersion roots, then evaluates the ellipticity ratio at
+    each root (``surfa.f:360-364``).  Returns (ell, c, valid) with shape
+    (P, nmodes) each.
+    """
+    from pysurfinv_tpu.ops.secular import rayleigh_ellipticity
+
+    c_all, _, ok_all = surf_forward(h, vp, vs, rho, qsinv, periods, nlay,
+                                    wave="rayleigh",
+                                    cfg=cfg._replace(compute_group=False))
+    L = h.shape[0]
+    idx = jnp.arange(L)
+    thin = (idx < nlay - 1) & (h <= H_MIN)
+    h_eff = jnp.where(thin | (idx >= nlay - 1), 0.0, h)
+    fac = flatten_factors(h_eff, nlay, 2) if cfg.flat else None
+    if fac is None:
+        from pysurfinv_tpu.ops.flatten import FlatFactors
+        ones = jnp.ones_like(h_eff)
+        fac = FlatFactors(h_flat=h_eff, vel_fac=ones, rho_fac=ones)
+
+    nmodes = cfg.nmodes
+    t_l = jnp.repeat(periods, nmodes)
+    c_l = c_all.reshape(-1)
+    ok_l = ok_all.reshape(-1)
+
+    def one(t, c0, ok):
+        mdl = _model_at_period(t, vp, vs, rho, qsinv, fac, cfg)
+        mm = effective_halfspace(c0, t, mdl[1], mdl[3], nlay, cfg.fact)
+        c_safe = jnp.where(ok, c0, mdl[1][0] + 0.5)
+        return rayleigh_ellipticity(c_safe, t, *mdl, mm)
+
+    ell = jax.vmap(one)(t_l, c_l, ok_l)
+    ell = jnp.where(ok_l, ell, 0.0).reshape(c_all.shape)
+    return ell, c_all, ok_all
+
+
+def _pallas_backend(cfg: SurfConfig):
+    """Resolve cfg.backend to None (XLA) or an interpret flag (Pallas)."""
+    if cfg.backend == "xla":
+        return None
+    if cfg.backend == "pallas":
+        return False
+    if cfg.backend == "pallas_interpret":
+        return True
+    try:
+        if jax.devices()[0].platform == "tpu":
+            return False
+    except Exception:
+        pass
+    return None
+
+
 @partial(jax.jit, static_argnames=("wave", "cfg"))
 def surf_forward_batch(h, vp, vs, rho, qsinv, periods, nlay,
                        wave: str = "rayleigh", cfg: SurfConfig = SurfConfig()):
-    """vmap of :func:`surf_forward` over a leading model-batch axis."""
+    """Batched dispersion solve over a leading model axis.
+
+    On TPU (or with ``cfg.backend`` forced) the secular-evaluation hot
+    loop runs through the fused Pallas kernel
+    (:mod:`pysurfinv_tpu.ops.pallas_secular`); otherwise this is a
+    plain vmap of :func:`surf_forward`.  Both paths share the bracket /
+    refine / implicit-diff algorithm and the same dc-cell semantics.
+    """
+    interp = _pallas_backend(cfg)
+    if interp is not None:
+        return _surf_forward_batch_fast(h, vp, vs, rho, qsinv, periods,
+                                        nlay, wave, cfg, interp)
     return jax.vmap(
         lambda h_, vp_, vs_, rho_, q_, n_: surf_forward(
             h_, vp_, vs_, rho_, q_, periods, n_, wave=wave, cfg=cfg),
         in_axes=(0, 0, 0, 0, 0, 0),
     )(h, vp, vs, rho, qsinv, nlay)
+
+
+def _surf_forward_batch_fast(h, vp, vs, rho, qsinv, periods, nlay,
+                             wave, cfg: SurfConfig, interpret: bool):
+    """Batched solver driving the fused Pallas secular kernel.
+
+    Same three phases as :func:`surf_forward`, restructured so every
+    secular evaluation is one ``secular_lanes`` call on a (K, B) lane
+    grid (K probes x B models):
+
+      1. bracket: per period, ONE dc-resolution sweep of the warm
+         window for all models at once (the XLA path's two-stage
+         coarse+fine narrowing exists to save vmapped evaluations; in
+         the fused kernel a full-dc sweep is a single cheap call and
+         has the same dc-sampling failure class as the reference);
+      2. refine: batched Illinois over all (period, mode, model) lanes
+         with the truncation frozen at each bracket's upper end;
+      3. group velocity: implicit diff through the XLA secular function
+         (the differentiable reference path), vmapped over all lanes.
+    """
+    from pysurfinv_tpu.ops.pallas_secular import secular_lanes
+
+    B, L = h.shape
+    dtype = h.dtype
+    idx = jnp.arange(L)[None, :]
+    nl = nlay[:, None]
+    thin = (idx < nl - 1) & (h <= H_MIN)
+    h_eff = jnp.where(thin | (idx >= nl - 1), 0.0, h)
+
+    kind = 1 if wave in ("love", "lov", "L") else 2
+    if cfg.flat:
+        fac = jax.vmap(flatten_factors, in_axes=(0, 0, None))(
+            h_eff, nlay, kind)
+    else:
+        from pysurfinv_tpu.ops.flatten import FlatFactors
+        ones = jnp.ones_like(h_eff)
+        fac = FlatFactors(h_flat=h_eff, vel_fac=ones, rho_fac=ones)
+
+    model_T = (vp.T, vs.T, rho.T, qsinv.T,
+               fac.h_flat.T, fac.vel_fac.T, fac.rho_fac.T)
+
+    def Fv(c, t, mmf):
+        return secular_lanes(c, t, mmf, *model_T, nlay, wave=wave,
+                             fact=cfg.fact, t_base=cfg.t_base,
+                             atten=cfg.atten, interpret=interpret)
+
+    dc = cfg.dc
+    zero_mm = lambda shp: jnp.zeros(shp, jnp.int32)  # noqa: E731
+
+    def sweep(c_start, t_scal, K, step):
+        """First dc(-or-coarser) sign change above c_start, all models.
+
+        Mirrors ``_bracket``/``_first_flip``: the search window stops at
+        c >= b_halfspace + 0.3 (calcul.f:165-167) and brackets whose
+        root would exceed the halfspace shear velocity are rejected
+        (calcul.f:191).  Returns (c_lo, found, mm_at_upper_end).
+        """
+        cs = c_start[None, :] + step * jnp.arange(K + 1, dtype=dtype)[:, None]
+        tt = jnp.full_like(cs, t_scal)
+        F, bhs, mm = Fv(cs, tt, zero_mm(cs.shape))
+        sgn = _sign(F)
+        within = cs < (bhs + 0.3)
+        cand = (sgn[:-1] != sgn[1:]) & within[1:]
+        found = jnp.any(cand, axis=0)
+        i = jnp.argmax(cand, axis=0)
+        c_lo = jnp.take_along_axis(cs, i[None], 0)[0]
+        bhs_up = jnp.take_along_axis(bhs, (i + 1)[None], 0)[0]
+        mm_up = jnp.take_along_axis(mm, (i + 1)[None], 0)[0]
+        found = found & (c_lo <= bhs_up)
+        return c_lo, found, mm_up
+
+    def illinois_lanes(t_kb, lo, hi, mm_kb, n_iter):
+        """`_illinois` driven by the Pallas evaluator on (K, B) lanes."""
+        return _illinois(lambda cc: Fv(cc, t_kb, mm_kb)[0], lo, hi, n_iter)
+
+    nmodes = cfg.nmodes
+    P = periods.shape[0]
+
+    def bracket_period(t, starts, nscan, coarse0):
+        """(nmodes, B) brackets at one period (cf. bracket_period above)."""
+        c_los, mms, founds = [], [], []
+        root_est = None
+        for iq in range(nmodes):
+            start = starts[iq]
+            if iq > 0:
+                start = jnp.maximum(start, root_est + 0.01 * dc)
+            if iq == 0 and coarse0 > 1:
+                k = max(nscan // coarse0, 1)
+                c_c, found_c, _ = sweep(start, t, k, coarse0 * dc)
+                c_lo, found_f, mm = sweep(c_c, t, coarse0, dc)
+                found = found_c & found_f
+            else:
+                c_lo, found, mm = sweep(start, t, nscan, dc)
+            if iq < nmodes - 1:
+                t_row = jnp.full((1, B), t, dtype)
+                root_est = illinois_lanes(
+                    t_row, c_lo[None], c_lo[None] + dc, mm[None], 6)[0]
+            c_los.append(c_lo)
+            mms.append(mm)
+            founds.append(found)
+        return jnp.stack(c_los), jnp.stack(mms), jnp.stack(founds)
+
+    t1 = periods[0]
+    c_init = jax.vmap(
+        lambda h_, vs_, q_, n_: _initial_c(h_, vs_, q_, n_, t1, wave, cfg)
+    )(h_eff, vs, qsinv, nlay)
+    starts0 = jnp.broadcast_to(c_init[None], (nmodes, B)).astype(dtype)
+    lo0, mm0, ok0 = bracket_period(t1, starts0, cfg.nscan_first,
+                                   cfg.coarse_first)
+    if nmodes > 1:
+        ok0 = jax.vmap(_mode_chain, in_axes=1, out_axes=1)(ok0)
+
+    def step(carry, t):
+        c_start, alive = carry
+        lok, mmk, okk = bracket_period(t, c_start, cfg.nscan, 1)
+        okk = okk & alive
+        if nmodes > 1:
+            okk = jax.vmap(_mode_chain, in_axes=1, out_axes=1)(okk)
+        new_start = jnp.where(okk, lok - cfg.warm_backoff * dc, c_start)
+        return (new_start, okk), (lok, mmk, okk)
+
+    if P > 1:
+        carry0 = (jnp.where(ok0, lo0 - cfg.warm_backoff * dc, starts0), ok0)
+        _, (lor, mmr, okr) = lax.scan(step, carry0, periods[1:])
+        c_lo = jnp.concatenate([lo0[None], lor], 0)    # (P, nmodes, B)
+        mm = jnp.concatenate([mm0[None], mmr], 0)
+        ok = jnp.concatenate([ok0[None], okr], 0)
+    else:
+        c_lo, mm, ok = lo0[None], mm0[None], ok0[None]
+
+    # ---- phase 2: batched Illinois over (P*nmodes, B) lanes ----------
+    KL = P * nmodes
+    t_l = jnp.broadcast_to(
+        jnp.repeat(periods, nmodes)[:, None], (KL, B)).astype(dtype)
+    lo_l = c_lo.reshape(KL, B)
+    mm_l = mm.reshape(KL, B)
+    ok_l = ok.reshape(KL, B)
+
+    root_l = illinois_lanes(t_l, lo_l, lo_l + dc, mm_l, cfg.nbisect)
+    _, bhs_l, _ = Fv(root_l, t_l, mm_l)
+    ok_l = ok_l & (root_l <= bhs_l)
+
+    # ---- phase 3: group velocity via the differentiable XLA path -----
+    if cfg.compute_group:
+        F = _secular_fn(wave)
+
+        def group_one(root, t, mmi, vp_i, vs_i, rho_i, q_i, fac_i):
+            mdl = _model_at_period(t, vp_i, vs_i, rho_i, q_i, fac_i, cfg)
+            return _group_velocity(F, root, t, mdl, mmi)
+
+        u_l = jax.vmap(  # over models (axis 1 of the lane grid)
+            jax.vmap(group_one, in_axes=(0, 0, 0, None, None, None, None,
+                                         None)),
+            in_axes=(1, 1, 1, 0, 0, 0, 0, 0), out_axes=1,
+        )(root_l, t_l, mm_l, vp, vs, rho, qsinv, fac)
+    else:
+        u_l = jnp.zeros_like(root_l)
+
+    c_out = jnp.where(ok_l, root_l, 0.0)
+    u_out = jnp.where(ok_l, u_l, 0.0)
+    # (P*nmodes, B) -> (B, P, nmodes)
+    reshape = lambda x: jnp.moveaxis(x.reshape(P, nmodes, B), 2, 0)  # noqa
+    return reshape(c_out), reshape(u_out), reshape(ok_l)

@@ -143,6 +143,9 @@ def sensitivity_kernels(h, vp, vs, rho, qsinv, periods, nlay,
         # implicit function theorem — nested plain AD, no custom rules.
         def W(c, vp_, vs_, rho_):
             def Fct(cc, tt):
+                # the outer t (not tt): F_T is the partial derivative at
+                # fixed material properties — the reference's group
+                # velocity convention (see dispersion._group_velocity)
                 mdl = _flat_model(t, vp_, vs_, rho_, h_eff, qsinv, nlay,
                                   kind, cfg)
                 return F(cc, tt, mdl, mm)

@@ -1,0 +1,421 @@
+"""Pallas TPU kernels for the secular-function hot loop.
+
+The root search (``ops/dispersion.py``) spends ~99% of its FLOPs
+evaluating the Rayleigh/Love secular functions: a 63-step layer
+recursion on a 5-vector (Dunkin, ``/root/reference/fast_surf_src/
+surfa.f:185-372``) or 2-vector (Haskell, ``surfa.f:135-183``) per
+(model, period, trial-c) lane.  The XLA path (``ops/secular.py``)
+expresses that as ``vmap(lax.scan)`` — correct and differentiable, but
+each scan step round-trips the tiny state through HBM-visible fusions
+and re-dispatches per layer.
+
+These kernels fuse the *entire* evaluation — per-period attenuation
+rescale, dynamic 4-wavelength halfspace truncation, the layer
+recursion with per-layer renormalisation, and the halfspace closure —
+into one VMEM-resident pass per lane block:
+
+  * lanes are laid out (K, B): K "probes" (c-grid points or periods)
+    on the sublane axis, B models on the 128-wide lane axis;
+  * model arrays are stored transposed, (L, B), so one kernel block
+    loads an (L, 128) strip into VMEM once and streams all K probes
+    against it from registers;
+  * the truncation (``surfa.f:92-106``) runs inline: a running
+    evanescent-thickness sum closes each lane at its own ``mmax`` and
+    records the halfspace row on the fly, instead of a separate
+    pre-pass;
+  * ``mm_frozen > 0`` pins the closure layer per lane, reproducing the
+    NEVILL convention of refining inside a bracket with the truncation
+    frozen at the bracket's upper end (``calcul.f:156-172``).
+
+The XLA implementation remains the single source of truth for AD
+(group velocity, sensitivity kernels) and for float64 golden tests;
+``tests/test_pallas_secular.py`` pins the two paths against each other.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TWO_PI = 6.283185307179586
+ACCUR = 1e-8  # regime-switch tolerance, surfa.f:191-192
+
+LANE = 128  # model-axis block width (TPU lane count)
+
+
+def _pq(r, wd):
+    """Branchless (r*sin, sin/r, cos) for one signed wavenumber regime.
+
+    Mirrors ``ops/secular.py::_pq_terms`` exactly (surfa.f:212-219).
+    """
+    ev = r < -ACCUR
+    osc = r > ACCUR
+    pm = wd * r
+    pm_ev = jnp.where(ev, pm, 0.0)
+    pm_osc = jnp.where(osc, pm, 0.0)
+    r_safe = jnp.where(jnp.abs(r) > ACCUR, r, 1.0)
+    e = jnp.exp(pm_ev)  # pm_ev <= 0 within the truncation window
+    einv = 1.0 / e
+    sh, ch = 0.5 * (e - einv), 0.5 * (e + einv)
+    sn, cs = jnp.sin(pm_osc), jnp.cos(pm_osc)
+    rsin = jnp.where(ev, -r * sh, jnp.where(osc, r * sn, 0.0))
+    sinr = jnp.where(ev, sh / r_safe, jnp.where(osc, sn / r_safe, wd))
+    cosx = jnp.where(ev, ch, jnp.where(osc, cs, 1.0))
+    return rsin, sinr, cosx
+
+
+def _wavenumbers(c, a, b):
+    """Signed ra, rb and g, g1 (surfa.f:211-258); liquid-safe."""
+    csq = c * c
+    arga = 1.0 - csq / (a * a)
+    ra_abs = jnp.sqrt(jnp.abs(arga))
+    ra = jnp.where(arga > 0.0, -ra_abs, ra_abs)
+    liquid = jnp.abs(b) <= ACCUR
+    b_safe = jnp.where(liquid, 1.0, b)
+    argb = 1.0 - csq / (b_safe * b_safe)
+    rb_abs = jnp.sqrt(jnp.abs(argb))
+    rb = jnp.where(argb > 0.0, -rb_abs, rb_abs)
+    g = 2.0 * b_safe * b_safe / csq
+    return ra, rb, g, g - 1.0, liquid
+
+
+def _rayleigh_kernel(fact, t_base, atten, L,
+                     vp_ref, vs_ref, rho_ref, qsi_ref,
+                     hf_ref, vf_ref, rf_ref, nlay_ref,
+                     c_ref, t_ref, mmf_ref,
+                     f_out, bhs_out, mm_out):
+    """One (Kb, 128) lane block of Rayleigh secular evaluations."""
+    c = c_ref[:]                      # (Kb, 128)
+    t = t_ref[:]
+    mmf = mmf_ref[:]                  # int32, 0 = dynamic truncation
+    nlay = nlay_ref[:]                # (1, 128) int32
+    frozen = mmf > 0
+
+    csq = c * c
+    wvno = TWO_PI / (c * t)
+    dmax = fact * c * t
+    lnt = jnp.log(t_base / t) / jnp.pi if atten else jnp.zeros_like(t)
+
+    zero = jnp.zeros_like(c)
+    one = jnp.ones_like(c)
+
+    def layer_model(l):
+        """Attenuated + flattened (a, b, rho, d) row l vs all lanes."""
+        vp_l = vp_ref[l][None, :]
+        vs_l = vs_ref[l][None, :]
+        rho_l = rho_ref[l][None, :]
+        qsi_l = qsi_ref[l][None, :]
+        hf_l = hf_ref[l][None, :]
+        vf_l = vf_ref[l][None, :]
+        rf_l = rf_ref[l][None, :]
+        if atten:
+            qsq = qsi_l * lnt
+            vp_s = jnp.where(jnp.abs(vp_l) > 0, vp_l, 1.0)
+            qpq = qsq * 1.33333333 * (vs_l / vp_s) ** 2
+            a_l = vp_l * (1.0 + qpq) * vf_l
+            b_l = vs_l * (1.0 + qsq) * vf_l
+        else:
+            a_l = vp_l * vf_l
+            b_l = vs_l * vf_l
+        return a_l, b_l, rho_l * rf_l, hf_l
+
+    def body(l, carry):
+        (b1, b2, b3, b4, b5, closed, csum, pending,
+         a_h, b_h, rho_h, mm) = carry
+        a_l, b_l, rho_l, d_l = layer_model(l)
+
+        # ---- inline truncation walk (surfa.f:92-106) ----------------
+        cond = (c < b_l) & (l < nlay)
+        csum = csum + jnp.where(cond, d_l, 0.0)
+        exceed = cond & (csum > dmax)
+        close_dyn = pending | exceed | (l == nlay - 1)
+        close_now = (~closed) & (l >= 1) & jnp.where(
+            frozen, l == mmf - 1, close_dyn)
+        pending = pending | (exceed & (l == 0))
+        a_h = jnp.where(close_now, a_l, a_h)
+        b_h = jnp.where(close_now, b_l, b_h)
+        rho_h = jnp.where(close_now, rho_l, rho_h)
+        mm = jnp.where(close_now, l + 1, mm)
+        closed = closed | close_now
+        apply = ~closed
+
+        # ---- layer propagation (surfa.f:259-335) --------------------
+        ra, rb, g, g1, liquid = _wavenumbers(c, a_l, b_l)
+        wd = wvno * d_l
+        rsinp, sinpr, cosp = _pq(ra, wd)
+        rsinq, sinqr, cosq = _pq(rb, wd)
+
+        rhoc = rho_l * csq
+        rr = rsinp * rsinq
+        ss = sinpr * sinqr
+        cc = cosp * cosq
+        rs1 = rsinp * cosq
+        rs2 = sinqr * cosp
+        rs3 = sinpr * cosq
+        rs4 = rsinq * cosp
+        gm = 2.0 * g - 1.0
+        gs = g * g
+        g1s = g1 * g1
+        ccm = 1.0 - cc
+        gg1 = g * g1
+        rhocs = rhoc * rhoc
+        suu = gs * rr + g1s * ss
+        inv_rhoc = 1.0 / rhoc
+
+        e11 = (2.0 * gs - gm) * cc - suu - 2.0 * gg1
+        e12 = -(rs1 + rs2) * inv_rhoc
+        e13 = -2.0 * (gm * ccm + g1 * ss + g * rr) * inv_rhoc
+        e14 = (rs3 + rs4) * inv_rhoc
+        e15 = (2.0 * ccm + rr + ss) * inv_rhoc * inv_rhoc
+        e21 = rhoc * (g1s * rs3 + gs * rs4)
+        e22 = cc
+        e23 = 2.0 * (g * rs4 + g1 * rs3)
+        e24 = sinpr * rsinq
+        e31 = rhoc * (gg1 * gm * ccm + g1s * g1 * ss + gs * g * rr)
+        e32 = g1 * rs2 + g * rs1
+        e33 = 1.0 + 2.0 * (2.0 * gg1 * ccm + suu)
+        e41 = -rhoc * (g1s * rs2 + gs * rs1)
+        e42 = rsinp * sinqr
+        e51 = rhocs * (2.0 * gs * g1s * ccm + gs * gs * rr
+                       + g1s * g1s * ss)
+
+        # liquid-surface-layer override (surfa.f:216-251)
+        e11 = jnp.where(liquid, cosp, e11)
+        e21 = jnp.where(liquid, rhoc * sinpr, e21)
+        liq0 = jnp.where(liquid, zero, one)
+        e12, e13, e14, e15 = (x * liq0 for x in (e12, e13, e14, e15))
+        e22, e23, e24 = (x * liq0 for x in (e22, e23, e24))
+        e31, e32, e33 = (x * liq0 for x in (e31, e32, e33))
+        e41, e42, e51 = (x * liq0 for x in (e41, e42, e51))
+
+        bb1 = e11 * b1 + e12 * b2 + e13 * b3 + e14 * b4 + e15 * b5
+        bb2 = e21 * b1 + e22 * b2 + e23 * b3 + e24 * b4 - e14 * b5
+        bb3 = (e31 * b1 + e32 * b2 + e33 * b3 - 0.5 * e23 * b4
+               + 0.5 * e13 * b5)
+        bb4 = e41 * b1 + e42 * b2 - 2.0 * e32 * b3 + e22 * b4 - e12 * b5
+        bb5 = e51 * b1 - e41 * b2 + 2.0 * e31 * b3 - e21 * b4 + e11 * b5
+
+        bb1 = jnp.where(apply, bb1, b1)
+        bb2 = jnp.where(apply, bb2, b2)
+        bb3 = jnp.where(apply, bb3, b3)
+        bb4 = jnp.where(apply, bb4, b4)
+        bb5 = jnp.where(apply, bb5, b5)
+        scale = jnp.maximum(
+            jnp.maximum(jnp.maximum(jnp.abs(bb1), jnp.abs(bb2)),
+                        jnp.maximum(jnp.abs(bb3), jnp.abs(bb4))),
+            jnp.abs(bb5))
+        inv = 1.0 / jnp.where(scale > 0.0, scale, 1.0)
+        return (bb1 * inv, bb2 * inv, bb3 * inv, bb4 * inv, bb5 * inv,
+                closed, csum, pending, a_h, b_h, rho_h, mm)
+
+    carry = (one, zero, zero, zero, zero,
+             jnp.zeros_like(c, jnp.bool_), zero,
+             jnp.zeros_like(c, jnp.bool_), one, one, one,
+             jnp.broadcast_to(nlay, c.shape).astype(jnp.int32))
+    carry = jax.lax.fori_loop(0, L - 1, body, carry, unroll=4)
+    (b1, b2, b3, b4, b5, closed, _, _, a_h, b_h, rho_h, mm) = carry
+
+    # lanes never closed in 0..L-2 close with the padded halfspace row
+    a_last, b_last, rho_last, _ = layer_model(L - 1)
+    a_h = jnp.where(closed, a_h, a_last)
+    b_h = jnp.where(closed, b_h, b_last)
+    rho_h = jnp.where(closed, rho_h, rho_last)
+    mm = jnp.where(closed, mm, jnp.broadcast_to(nlay, c.shape))
+
+    # ---- halfspace closure (surfa.f:340-354) -------------------------
+    ra_h, rb_h, g_h, g1_h, _ = _wavenumbers(c, a_h, b_h)
+    ra_h = jnp.where(jnp.abs(ra_h) > ACCUR, ra_h, -ACCUR)
+    den = rho_h * a_h * a_h
+    gra = g_h * ra_h
+    rba = rb_h - 1.0 / ra_h
+    A11 = (-2.0 * rb_h * (b_h * b_h) / (a_h * a_h)
+           + csq * (g1_h * g1_h) / ((a_h * a_h) * gra))
+    A12 = -1.0 / (g_h * den)
+    A13 = -rb_h / den + g1_h / (den * gra)
+    A14 = rb_h / (den * gra)
+    A15 = rba / ((rho_h * a_h) ** 2 * csq * g_h)
+    f_out[:] = -(A11 * b1 + A12 * b2 + 2.0 * A13 * b3 + A14 * b4
+                 + A15 * b5)
+    bhs_out[:] = b_h
+    mm_out[:] = mm.astype(jnp.int32)
+
+
+def _love_kernel(fact, t_base, atten, L,
+                 vp_ref, vs_ref, rho_ref, qsi_ref,
+                 hf_ref, vf_ref, rf_ref, nlay_ref,
+                 c_ref, t_ref, mmf_ref,
+                 f_out, bhs_out, mm_out):
+    """One (Kb, 128) lane block of Love secular evaluations.
+
+    Pass 1 walks down to find each lane's closure layer and halfspace
+    row; pass 2 propagates (ut, tt) from the halfspace back to the
+    surface (DLTAR1, surfa.f:135-183).
+    """
+    c = c_ref[:]
+    t = t_ref[:]
+    mmf = mmf_ref[:]
+    nlay = nlay_ref[:]
+    frozen = mmf > 0
+
+    wvno = TWO_PI / (c * t)
+    dmax = fact * c * t
+    lnt = jnp.log(t_base / t) / jnp.pi if atten else jnp.zeros_like(t)
+    zero = jnp.zeros_like(c)
+    one = jnp.ones_like(c)
+
+    def layer_model(l):
+        vs_l = vs_ref[l][None, :]
+        rho_l = rho_ref[l][None, :]
+        qsi_l = qsi_ref[l][None, :]
+        hf_l = hf_ref[l][None, :]
+        vf_l = vf_ref[l][None, :]
+        rf_l = rf_ref[l][None, :]
+        b_l = (vs_l * (1.0 + qsi_l * lnt) if atten else vs_l) * vf_l
+        return b_l, rho_l * rf_l, hf_l
+
+    # ---- pass 1: truncation walk --------------------------------------
+    def trunc_body(l, carry):
+        closed, csum, pending, b_h, rho_h, mm = carry
+        b_l, rho_l, d_l = layer_model(l)
+        cond = (c < b_l) & (l < nlay)
+        csum = csum + jnp.where(cond, d_l, 0.0)
+        exceed = cond & (csum > dmax)
+        close_dyn = pending | exceed | (l == nlay - 1)
+        close_now = (~closed) & (l >= 1) & jnp.where(
+            frozen, l == mmf - 1, close_dyn)
+        pending = pending | (exceed & (l == 0))
+        b_h = jnp.where(close_now, b_l, b_h)
+        rho_h = jnp.where(close_now, rho_l, rho_h)
+        mm = jnp.where(close_now, l + 1, mm)
+        closed = closed | close_now
+        return closed, csum, pending, b_h, rho_h, mm
+
+    carry0 = (jnp.zeros_like(c, jnp.bool_), zero,
+              jnp.zeros_like(c, jnp.bool_), one, one,
+              jnp.broadcast_to(nlay, c.shape).astype(jnp.int32))
+    closed, _, _, b_h, rho_h, mm = jax.lax.fori_loop(
+        0, L - 1, trunc_body, carry0, unroll=4)
+    b_last, rho_last, _ = layer_model(L - 1)
+    b_h = jnp.where(closed, b_h, b_last)
+    rho_h = jnp.where(closed, rho_h, rho_last)
+    mm = jnp.where(closed, mm, jnp.broadcast_to(nlay, c.shape))
+
+    # ---- halfspace initial state (surfa.f:143-148) ---------------------
+    b_hs = jnp.where(jnp.abs(b_h) > ACCUR, b_h, 1.0)
+    rb_h = jnp.sqrt(jnp.abs((c / b_hs) ** 2 - 1.0))
+    ut = one
+    tt = rho_h * b_hs * b_hs * rb_h
+    scale0 = jnp.maximum(jnp.abs(ut), jnp.abs(tt))
+    inv0 = 1.0 / jnp.where(scale0 > 0, scale0, 1.0)
+    ut, tt = ut * inv0, tt * inv0
+
+    # ---- pass 2: reverse propagation up to the surface ------------------
+    def prop_body(i, carry):
+        ut, tt = carry
+        l = L - 2 - i
+        b_l, rho_l, d_l = layer_model(l)
+        water = jnp.abs(b_l) <= ACCUR
+        apply = (l <= mm - 2) & ~water
+        b_safe = jnp.where(water, 1.0, b_l)
+        rb = jnp.sqrt(jnp.abs((c / b_safe) ** 2 - 1.0))
+        hmu = rho_l * b_safe * b_safe
+        q = -wvno * d_l * rb
+        osc = (c > b_safe) & (rb >= 1e-20)
+        ev = (c < b_safe) & (rb >= 1e-20)
+        q_osc = jnp.where(osc, q, 0.0)
+        q_ev = jnp.where(ev, q, 0.0)
+        rb_safe = jnp.where(rb >= 1e-20, rb, 1.0)
+        eq = jnp.exp(q_ev)  # q_ev <= 0
+        shq, chq = 0.5 * (eq - 1.0 / eq), 0.5 * (eq + 1.0 / eq)
+        sn = jnp.sin(q_osc)
+        y = jnp.where(osc, sn / rb_safe,
+                      jnp.where(ev, shq / rb_safe, -wvno * d_l))
+        z = jnp.where(osc, rb * sn, jnp.where(ev, -rb * shq, 0.0))
+        cosq = jnp.where(osc, jnp.cos(q_osc), jnp.where(ev, chq, 1.0))
+        eut = cosq * ut - y * tt / hmu
+        ett = hmu * z * ut + cosq * tt
+        eut = jnp.where(apply, eut, ut)
+        ett = jnp.where(apply, ett, tt)
+        scale = jnp.maximum(jnp.abs(eut), jnp.abs(ett))
+        inv = 1.0 / jnp.where(scale > 0, scale, 1.0)
+        return eut * inv, ett * inv
+
+    ut, tt = jax.lax.fori_loop(0, L - 1, prop_body, (ut, tt), unroll=4)
+    f_out[:] = -tt
+    bhs_out[:] = b_h
+    mm_out[:] = mm.astype(jnp.int32)
+
+
+def _pad_to(x, n, axis, fill):
+    pad = n - x.shape[axis]
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths, constant_values=fill)
+
+
+@partial(jax.jit, static_argnames=("wave", "fact", "t_base", "atten",
+                                   "interpret"))
+def secular_lanes(c, t, mm_frozen, vp, vs, rho, qsi, h_flat, vel_fac,
+                  rho_fac, nlay, wave: str = "rayleigh", fact: float = 4.0,
+                  t_base: float = 1.0, atten: bool = True,
+                  interpret: bool = False):
+    """Evaluate the secular function on a (K, B) lane grid.
+
+    Args:
+      c, t:       (K, B) trial phase velocities and periods.
+      mm_frozen:  (K, B) int32; 0 = dynamic truncation, >0 = pinned
+                  1-based closure layer count (NEVILL convention).
+      vp..rho_fac: (L, B) transposed padded model arrays; ``h_flat``,
+                  ``vel_fac``, ``rho_fac`` from ``ops.flatten`` (pass
+                  ones/h for an unflattened run).
+      nlay:       (B,) int32 real-layer counts.
+
+    Returns:
+      F:    (K, B) secular values (sign/roots as ``ops.secular``),
+      b_hs: (K, B) shear velocity of each lane's closure halfspace,
+      mm:   (K, B) int32 closure layer counts actually used.
+    """
+    K, B = c.shape
+    L = vp.shape[0]
+    Bp = -(-B // LANE) * LANE
+    Kb = 8  # f32 native sublane tile; K is padded up to a multiple
+    Kp = -(-K // Kb) * Kb
+
+    c = _pad_to(_pad_to(c, Kp, 0, 1.0), Bp, 1, 1.0)
+    t = _pad_to(_pad_to(t, Kp, 0, 1.0), Bp, 1, 1.0)
+    mmf = _pad_to(_pad_to(mm_frozen, Kp, 0, 2), Bp, 1, 2)
+    model = [_pad_to(x, Bp, 1, 1.0)
+             for x in (vp, vs, rho, qsi, h_flat, vel_fac, rho_fac)]
+    nlay2 = _pad_to(nlay.astype(jnp.int32)[None, :], Bp, 1, 2)
+
+    kern = _rayleigh_kernel if wave in ("rayleigh", "ray", "R") \
+        else _love_kernel
+    body = partial(kern, fact, t_base, atten, L)
+
+    grid = (Kp // Kb, Bp // LANE)
+    mspec = pl.BlockSpec((L, LANE), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM)
+    lspec = pl.BlockSpec((Kb, LANE), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM)
+    nspec = pl.BlockSpec((1, LANE), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM)
+
+    f, bhs, mm = pl.pallas_call(
+        body,
+        grid=grid,
+        in_specs=[mspec] * 7 + [nspec, lspec, lspec, lspec],
+        out_specs=(lspec, lspec, lspec),
+        out_shape=(
+            jax.ShapeDtypeStruct((Kp, Bp), c.dtype),
+            jax.ShapeDtypeStruct((Kp, Bp), c.dtype),
+            jax.ShapeDtypeStruct((Kp, Bp), jnp.int32),
+        ),
+        interpret=interpret,
+    )(*model, nlay2, c, t, mmf)
+    return f[:K, :B], bhs[:K, :B], mm[:K, :B]

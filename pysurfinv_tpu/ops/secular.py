@@ -127,6 +127,98 @@ def _vertical_wavenumbers(c, a, b):
     return ra, rb, g, g - 1.0, liquid
 
 
+def _dunkin_entries(c, csq, wvno, a_m, b_m, rho_m, d_m):
+    """Per-layer Dunkin 5x5 subdeterminant entries (surfa.f:259-320).
+
+    Returns the 15 independent entries plus the liquid-layer mask; shared
+    by the dispersion (mup=1) and ellipticity/amplitude (mup=2/3)
+    recursions.
+    """
+    ra, rb, g, g1, liquid = _vertical_wavenumbers(c, a_m, b_m)
+    wd = wvno * d_m
+    rsinp, sinpr, cosp = _pq_terms(ra, wd)
+    rsinq, sinqr, cosq = _pq_terms(rb, wd)
+
+    rhoc = rho_m * csq
+    rr = rsinp * rsinq
+    ss = sinpr * sinqr
+    cc = cosp * cosq
+    rs1 = rsinp * cosq
+    rs2 = sinqr * cosp
+    rs3 = sinpr * cosq
+    rs4 = rsinq * cosp
+    gm = 2.0 * g - 1.0
+    gs = g * g
+    g1s = g1 * g1
+    ccm = 1.0 - cc
+    gg1 = g * g1
+    rhocs = rhoc * rhoc
+    suu = gs * rr + g1s * ss
+
+    e11 = (2.0 * gs - gm) * cc - suu - 2.0 * gg1
+    e12 = -(rs1 + rs2) / rhoc
+    e13 = -2.0 * (gm * ccm + g1 * ss + g * rr) / rhoc
+    e14 = (rs3 + rs4) / rhoc
+    e15 = (2.0 * ccm + rr + ss) / rhocs
+    e21 = rhoc * (g1s * rs3 + gs * rs4)
+    e22 = cc
+    e23 = 2.0 * (g * rs4 + g1 * rs3)
+    e24 = sinpr * rsinq
+    e31 = rhoc * (gg1 * gm * ccm + g1s * g1 * ss + gs * g * rr)
+    e32 = g1 * rs2 + g * rs1
+    e33 = 1.0 + 2.0 * (2.0 * gg1 * ccm + suu)
+    e41 = -rhoc * (g1s * rs2 + gs * rs1)
+    e42 = rsinp * sinqr
+    e51 = rhocs * (2.0 * gs * g1s * ccm + gs * gs * rr + g1s * g1s * ss)
+
+    # liquid-surface-layer override (surfa.f:216-251)
+    zero = jnp.zeros_like(e11)
+    e11_l = jnp.where(liquid, cosp, e11)
+    e21_l = jnp.where(liquid, rhoc * sinpr, e21)
+    liq0 = jnp.where(liquid, zero, jnp.ones_like(e11))
+    out = dict(
+        e11=e11_l, e21=e21_l,
+        e12=e12 * liq0, e13=e13 * liq0, e14=e14 * liq0, e15=e15 * liq0,
+        e22=e22 * liq0, e23=e23 * liq0, e24=e24 * liq0,
+        e31=e31 * liq0, e32=e32 * liq0, e33=e33 * liq0,
+        e41=e41 * liq0, e42=e42 * liq0, e51=e51 * liq0,
+    )
+    return out, liquid
+
+
+def _dunkin_update(e, b1, b2, b3, b4, b5):
+    """Symmetric 5-vector update (surfa.f:326-335)."""
+    bb1 = (e["e11"] * b1 + e["e12"] * b2 + e["e13"] * b3
+           + e["e14"] * b4 + e["e15"] * b5)
+    bb2 = (e["e21"] * b1 + e["e22"] * b2 + e["e23"] * b3
+           + e["e24"] * b4 - e["e14"] * b5)
+    bb3 = (e["e31"] * b1 + e["e32"] * b2 + e["e33"] * b3
+           - 0.5 * e["e23"] * b4 + 0.5 * e["e13"] * b5)
+    bb4 = (e["e41"] * b1 + e["e42"] * b2 - 2.0 * e["e32"] * b3
+           + e["e22"] * b4 - e["e12"] * b5)
+    bb5 = (e["e51"] * b1 - e["e41"] * b2 + 2.0 * e["e31"] * b3
+           - e["e21"] * b4 + e["e11"] * b5)
+    return jnp.stack([bb1, bb2, bb3, bb4, bb5])
+
+
+def _dunkin_closure(c, csq, a_h, b_h, rho_h, bvec):
+    """Halfspace closure row applied to a propagated 5-vector
+    (surfa.f:340-354)."""
+    ra_h, rb_h, g_h, g1_h, _ = _vertical_wavenumbers(c, a_h, b_h)
+    ra_h = jnp.where(jnp.abs(ra_h) > ACCUR, ra_h, -ACCUR)
+    den = rho_h * a_h * a_h
+    gra = g_h * ra_h
+    rba = rb_h - 1.0 / ra_h
+    A11 = (-2.0 * rb_h * (b_h * b_h) / (a_h * a_h)
+           + csq * (g1_h * g1_h) / ((a_h * a_h) * gra))
+    A12 = -1.0 / (g_h * den)
+    A13 = -rb_h / den + g1_h / (den * gra)
+    A14 = rb_h / (den * gra)
+    A15 = rba / ((rho_h * a_h) ** 2 * csq * g_h)
+    return (A11 * bvec[0] + A12 * bvec[1] + 2.0 * A13 * bvec[2]
+            + A14 * bvec[3] + A15 * bvec[4])
+
+
 def rayleigh_secular(c, t, a, b, rho, d, mmax):
     """Dunkin reduced-delta Rayleigh secular function (DLTAR4, mup=1).
 
@@ -288,3 +380,74 @@ def love_secular(c, t, b, rho, d, mmax):
     xs = (b[:-1], rho[:-1], d[:-1], apply_mask[:-1])
     state, _ = lax.scan(body, state0, xs, reverse=True, unroll=SCAN_UNROLL)
     return -state[1]
+
+
+def _dunkin_pair(c, t, a, b, rho, d, mmax):
+    """Propagate the e2- and e3-seeded Dunkin recursions jointly.
+
+    DLTAR4's mup=2/3 modes rerun the recursion from unit vectors e2 and
+    e3 instead of e1, and skip liquid layers entirely
+    (``surfa.f:196-207, 218``: ``if(mup.gt.1) goto 50``).  The reference
+    runs them sequentially without renormalisation; here both 5-vectors
+    share one scan state and one scale factor, so their *ratio* — the
+    only quantity mup=2 consumes — is exactly that of the unscaled
+    recursions.
+    """
+    wvno = TWO_PI / (c * t)
+    csq = c * c
+    L = a.shape[0]
+    apply_mask = jnp.arange(L) < (mmax - 1)
+
+    def body(state, xs):
+        a_m, b_m, rho_m, d_m, apply = xs
+        e, liquid = _dunkin_entries(c, csq, wvno, a_m, b_m, rho_m, d_m)
+        u, v = state
+        new_u = _dunkin_update(e, *u)
+        new_v = _dunkin_update(e, *v)
+        keep = apply & ~liquid
+        new_u = jnp.where(keep, new_u, u)
+        new_v = jnp.where(keep, new_v, v)
+        scale = lax.stop_gradient(
+            jnp.maximum(jnp.max(jnp.abs(new_u)), jnp.max(jnp.abs(new_v))))
+        inv = 1.0 / jnp.where(scale > 0.0, scale, 1.0)
+        return (new_u * inv, new_v * inv), None
+
+    e2 = jnp.zeros((5,), dtype=a.dtype).at[1].set(1.0)
+    e3 = jnp.zeros((5,), dtype=a.dtype).at[2].set(1.0)
+    xs = (a[:-1], b[:-1], rho[:-1], d[:-1], apply_mask[:-1])
+    (u, v), _ = lax.scan(body, (e2, e3), xs, unroll=SCAN_UNROLL)
+
+    h = mmax - 1
+    F2 = _dunkin_closure(c, csq, a[h], b[h], rho[h], u)
+    F3 = _dunkin_closure(c, csq, a[h], b[h], rho[h], v)
+    return F2, F3
+
+
+def rayleigh_ellipticity(c, t, a, b, rho, d, mmax):
+    """Surface H/V ellipticity at a Rayleigh root (DLTAR4, mup=2).
+
+    ``surfa.f:360-364``: ellipticity = 0.5 * bb1(jump=3) / bb1(jump=2),
+    evaluated at the dispersion root ``c``.
+    """
+    F2, F3 = _dunkin_pair(c, t, a, b, rho, d, mmax)
+    F2 = jnp.where(jnp.abs(F2) > 0, F2, ACCUR)
+    return 0.5 * F3 / F2
+
+
+def rayleigh_amplitude(c, t, a, b, rho, d, mmax):
+    """Amplitude response |bb1| at a Rayleigh root (DLTAR4, mup=3).
+
+    ``surfa.f:366-371``: the e2-seeded recursion's closure magnitude;
+    when the surface layer is liquid the response is modulated by the
+    water-column standing-wave factor cos(wvno * d1 * sqrt(|c^2/a1^2
+    - 1|)).  NOTE: unlike the reference, the returned magnitude is
+    renormalised per layer, so only *relative* amplitudes across nearby
+    (c, t) are meaningful — matching how SURF_AMP consumes it.
+    """
+    F2, _ = _dunkin_pair(c, t, a, b, rho, d, mmax)
+    amp = jnp.abs(F2)
+    liquid_top = jnp.abs(b[0]) <= ACCUR
+    wvno = TWO_PI / (c * t)
+    ra = c / a[0]
+    rad = wvno * d[0] * jnp.sqrt(jnp.abs(ra * ra - 1.0))
+    return jnp.where(liquid_top, jnp.abs(amp * jnp.cos(rad)), amp)

@@ -31,8 +31,11 @@ import numpy as np
 def _load_model(model):
     import pandas as pd
     if model is None:
-        raise ValueError("A model (csv path or DataFrame) is required; the "
-                         "reference's bundled PREM csv is not shipped here.")
+        # default kernel model, as the reference defaults to its bundled
+        # PREM table (senskernel.py:6-11) — ours is regenerated from the
+        # published PREM polynomials (data/prem.py)
+        from pysurfinv_tpu.data.prem import prem_model
+        return prem_model()
     if isinstance(model, str):
         return pd.read_csv(model)
     return model.copy()

