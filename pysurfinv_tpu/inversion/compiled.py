@@ -265,6 +265,23 @@ class CompiledModel:
         nlay = h.shape[0]  # static: halfspace is the last real row
         return h_p, hs(vp), hs(vs), hs(rho), hs(qsinv), nlay
 
+    def build_profile_batch(self, thetas, psis=None):
+        """vmapped :meth:`build_profile` for a (N, ntheta) stack.
+
+        Returns (h, vp, vs, rho, qsinv) of shape (N, L) plus an (N,)
+        int32 nlay vector — the layout ``surf_forward_batch`` consumes,
+        which routes through the fused Pallas secular kernel on TPU.
+        """
+        import jax
+
+        N = thetas.shape[0]
+        psis = (jnp.broadcast_to(self.psi0, (N,) + self.psi0.shape)
+                if psis is None else psis)
+        h, vp, vs, rho, qsi = jax.vmap(
+            lambda th, ps: self.build_profile(th, ps)[:5])(thetas, psis)
+        nlay = jnp.full((N,), self._n_nodes - 1, jnp.int32)
+        return h, vp, vs, rho, qsi, nlay
+
     # ------------------------------------------------------------------
     def isgood(self, theta, psi=None):
         """Vectorised prior (CascadiaOcean.isgood, models.py:571-677)."""

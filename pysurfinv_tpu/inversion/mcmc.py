@@ -80,9 +80,11 @@ def _retry(key, sample_fn, check_fn, init_cand, max_rounds):
         cand = jnp.where(good & ~found, prop, cand)
         return i + 1, found | good, cand, k
 
+    # derive the initial flag from the candidate so its sharding
+    # "varying" type matches the body output under shard_map
+    found0 = jnp.zeros_like(init_cand, bool).any()
     _, found, cand, _ = lax.while_loop(
-        cond, body, (jnp.zeros((), jnp.int32), jnp.asarray(False),
-                     init_cand, key))
+        cond, body, (jnp.zeros((), jnp.int32), found0, init_cand, key))
     return cand, found
 
 
@@ -166,6 +168,98 @@ def make_chain_kernel(isgood, chi_sqr, cfg: ChainConfig):
         _, rows = lax.scan(lambda c, k: step(spec, ctx, c, k),
                            (theta, misfit, chi, L), keys)
         return jnp.concatenate([first_row[None], rows], axis=0)
+
+    return run
+
+
+def make_batched_sampler(isgood, chi_sqr_batch, cfg: ChainConfig):
+    """Time-major sampler: one fused *batched* forward per MCMC step.
+
+    ``make_chain_kernel`` nests the time loop inside each vmapped chain,
+    so the dispersion solve runs as vmapped single-model XLA scans.
+    Here the loop order is inverted: every lane (chain, or point x
+    chain) advances one Metropolis step per ``lax.scan`` iteration, and
+    all lanes' forwards evaluate in ONE ``chi_sqr_batch`` call — which
+    routes through ``surf_forward_batch`` and hence the fused Pallas
+    secular kernel on TPU (~7-10x the vmapped XLA path).
+
+    Args:
+      isgood:        (theta, ctx_lane) -> bool, single lane (vmapped
+                     internally — its retry while_loops stay per-lane).
+      chi_sqr_batch: (thetas (N, k), ctx_batched) -> (misfit, chi, L)
+                     each (N,).  Never called in priori mode.
+      cfg:           ChainConfig.
+
+    Returns ``run(lane_keys, spec_b, ctx_b, theta_init_b, use_init_b)
+    -> track`` of shape (N, chain_len, 3 + k); all args carry a leading
+    lane axis N.  ``lane_keys`` are per-lane PRNG keys — derive them
+    from *global* lane indices (``fold_in(PRNGKey(seed), lane_id)``)
+    and every lane's stream is a pure function of its key: the result
+    is bitwise identical however the lane axis is sharded or padded.
+    RNG streams differ from ``make_chain_kernel``; both samplers
+    target the identical stationary distribution.
+    """
+
+    def eval_all(thetas, ctx_b):
+        if cfg.priori:
+            N = thetas.shape[0]
+            z = jnp.zeros((N,), thetas.dtype)
+            return z, z, jnp.ones((N,), thetas.dtype)
+        return chi_sqr_batch(thetas, ctx_b)
+
+    def run(lane_keys, spec_b, ctx_b, theta_init_b, use_init_b):
+        N = spec_b.theta0.shape[0]
+        dtype = spec_b.theta0.dtype
+        CL = cfg.chain_len
+
+        def init_lane(lk, spec1, ctx1, th_init, ui):
+            k1 = jax.random.fold_in(lk, 2 * CL)
+            k2 = jax.random.fold_in(lk, 2 * CL + 1)
+            th_r, _ = _propose(
+                k1, uniform_reset(k2, spec1.vmin, spec1.vmax, dtype),
+                spec1, ctx1, isgood, cfg._replace(n_perturb_rounds=1))
+            return jnp.where(ui, th_init, th_r)
+
+        theta = jax.vmap(init_lane)(lane_keys, spec_b, ctx_b,
+                                    theta_init_b, use_init_b)
+        misfit, chi, L = eval_all(theta, ctx_b)
+        first = jnp.concatenate(
+            [jnp.stack([misfit, L, jnp.ones_like(misfit)], axis=1), theta],
+            axis=1)
+
+        vprop = jax.vmap(
+            lambda k, th, s, cx: _propose(k, th, s, cx, isgood, cfg))
+
+        def step(carry, s):
+            theta0, m0, chi0, L0 = carry
+            k_prop = jax.vmap(lambda lk: jax.random.fold_in(lk, 2 * s))(
+                lane_keys)
+            theta1, okp = vprop(k_prop, theta0, spec_b, ctx_b)
+            if cfg.priori:
+                row = jnp.concatenate(
+                    [jnp.zeros((N, 2), dtype), jnp.ones((N, 1), dtype),
+                     theta1], axis=1)
+                return (theta1, m0, chi0, L0), row
+            m1, chi1, L1 = eval_all(theta1, ctx_b)
+            u = jax.vmap(lambda lk: jax.random.uniform(
+                jax.random.fold_in(lk, 2 * s + 1), dtype=dtype))(lane_keys)
+            accept = (chi1 < chi0) | (u > 1.0 - jnp.exp(-(chi1 - chi0) / 2))
+            accept = accept & okp & (m1 < cfg.misfit_fail)
+            row = jnp.concatenate(
+                [jnp.stack([m1, L1, accept.astype(dtype)], axis=1), theta1],
+                axis=1)
+            acc = accept[:, None]
+            new = (jnp.where(acc, theta1, theta0),
+                   jnp.where(accept, m1, m0),
+                   jnp.where(accept, chi1, chi0),
+                   jnp.where(accept, L1, L0))
+            return new, row
+
+        _, rows = lax.scan(step, (theta, misfit, chi, L),
+                           jnp.arange(CL - 1))
+        # rows: (chain_len-1, N, 3+k) -> (N, chain_len, 3+k)
+        return jnp.concatenate([first[:, None], jnp.moveaxis(rows, 0, 1)],
+                               axis=1)
 
     return run
 

@@ -98,16 +98,23 @@ class Point:
     # ---- vmapped on-device MCMC (replaces mp.Pool, point.py:90-125) -----
     def MCinvMP(self, outdir="MCtest", pid=None, runN=50000, chainL=1000,
                 nprocess=None, seed=42, priori=False, isgood=None,
-                verbose=True, wave="rayleigh"):
+                verbose=True, wave="rayleigh", sampler="batched"):
         """All runN//chainL chain segments as vmapped lanes on one chip.
 
         ``nprocess`` is accepted for API compatibility and ignored — the
         parallelism unit is a vmap lane, not a process.
+
+        ``sampler``: "batched" (default) inverts the loop order so every
+        Metropolis step solves all chains' forwards in one
+        ``surf_forward_batch`` call (fused Pallas path on TPU);
+        "legacy" keeps the per-chain vmapped kernel.  Both target the
+        same stationary distribution; RNG streams differ.
         """
         import jax
         import jax.numpy as jnp
         from pysurfinv_tpu.inversion.compiled import CompiledModel
         from pysurfinv_tpu.inversion.mcmc import (ChainConfig,
+                                                  make_batched_sampler,
                                                   make_chain_kernel,
                                                   run_chains)
 
@@ -120,20 +127,38 @@ class Point:
 
         cm = CompiledModel(self.initMod)
         periods = jnp.asarray(np.asarray(self.obs["T"], dtype=float))
-        chi_sqr = self._compiled_chi_sqr(cm, periods, wave)
         cfg = ChainConfig(chain_len=chainL, priori=priori)
-        kernel = make_chain_kernel(lambda th, psi: cm.isgood(th, psi),
-                                   chi_sqr, cfg)
-
         n_chains = runN // chainL
         key = jax.random.PRNGKey(seed)
-        tracks = run_chains(kernel, key, cm.spec, cm.psi0, n_chains)
+
+        if sampler == "batched":
+            chi_b = self._compiled_chi_sqr_batch(cm, periods, wave)
+            run = make_batched_sampler(
+                lambda th, psi: cm.isgood(th, psi), chi_b, cfg)
+            N = n_chains
+            bcast = lambda x: jnp.broadcast_to(  # noqa: E731
+                x, (N,) + x.shape)
+            spec_b = jax.tree.map(bcast, cm.spec)
+            psi_b = bcast(cm.psi0)
+            theta0_b = bcast(cm.spec.theta0)
+            use_init = jnp.arange(N) == 0
+            lane_keys = jax.vmap(
+                lambda i: jax.random.fold_in(key, i))(jnp.arange(N))
+            tracks = jax.jit(run)(lane_keys, spec_b, psi_b, theta0_b,
+                                  use_init)
+        else:
+            chi_sqr = self._compiled_chi_sqr(cm, periods, wave)
+            kernel = make_chain_kernel(lambda th, psi: cm.isgood(th, psi),
+                                       chi_sqr, cfg)
+            tracks = run_chains(kernel, key, cm.spec, cm.psi0, n_chains)
         mcTrack = np.asarray(tracks).reshape(runN, -1)
         self._save_npz(outdir, pid, mcTrack, chainL)
         if verbose:
             print(f"Time cost:{time.time() - timeStamp:.2f} ")
 
-    def _compiled_chi_sqr(self, cm, periods, wave):
+    def _misfit_kernel(self):
+        """Pure (cP (P,)) -> (misfit, chiSqr, L), single lane, vmappable
+        (point.py:37-53 semantics incl. soft cap + 88888 sentinel)."""
         import jax.numpy as jnp
 
         cO = np.ma.masked_array(np.asarray(self.obs["c"], dtype=float))
@@ -143,8 +168,7 @@ class Point:
         uncer = jnp.asarray(np.asarray(self.obs["uncer"], dtype=float))
         N = int(mask.sum())
 
-        def chi_sqr(theta, psi):
-            cP = cm.forward(theta, periods, psi=psi, wave=wave)
+        def misfit_from_c(cP):
             ok = jnp.all(cP >= 0.01)
             chi = jnp.sum(jnp.where(obs_m, ((obs_c - cP) / uncer) ** 2, 0.0))
             misfit = jnp.sqrt(chi / N)
@@ -154,7 +178,39 @@ class Point:
                     jnp.where(ok, chi, 88888.0),
                     jnp.where(ok, L, 0.0))
 
+        return misfit_from_c
+
+    def _compiled_chi_sqr(self, cm, periods, wave):
+        mk = self._misfit_kernel()
+
+        def chi_sqr(theta, psi):
+            return mk(cm.forward(theta, periods, psi=psi, wave=wave))
+
         return chi_sqr
+
+    def _compiled_chi_sqr_batch(self, cm, periods, wave, solver_cfg=None):
+        """(thetas (N, k), psis (N, npsi)) -> per-lane (misfit, chi, L).
+
+        One batched profile build + ONE ``surf_forward_batch`` call —
+        the fused Pallas path on TPU — instead of N vmapped scans.
+        """
+        import jax
+        import jax.numpy as jnp
+        from pysurfinv_tpu.ops.dispersion import (SurfConfig,
+                                                  surf_forward_batch)
+
+        mk = jax.vmap(self._misfit_kernel())
+        scfg = (solver_cfg or SurfConfig())._replace(nmodes=1,
+                                                     compute_group=False)
+
+        def chi_sqr_batch(thetas, psis):
+            h, vp, vs, rho, qsi, nlay = cm.build_profile_batch(thetas, psis)
+            c, _, okk = surf_forward_batch(h, vp, vs, rho, qsi, periods,
+                                           nlay, wave=wave, cfg=scfg)
+            cP = jnp.where(okk[:, :, 0], c[:, :, 0], 0.0)
+            return mk(cP)
+
+        return chi_sqr_batch
 
     def _save_npz(self, outdir, pid, mcTrack, chainL):
         os.makedirs(outdir, exist_ok=True)
@@ -197,7 +253,7 @@ class PointCascadia(Point):
         chiSqr = _soft_cap(chiSqr)
         return misfit, chiSqr, np.exp(-0.5 * chiSqr)
 
-    def _compiled_chi_sqr(self, cm, periods, wave):
+    def _misfit_kernel(self):
         import jax.numpy as jnp
 
         T = np.asarray(self.obs["T"], dtype=float)
@@ -210,8 +266,7 @@ class PointCascadia(Point):
         N = int(mask.sum())
         n_lo, n_hi = int((mask & (T <= 40)).sum()), int((mask & (T > 40)).sum())
 
-        def chi_sqr(theta, psi):
-            cP = cm.forward(theta, periods, psi=psi, wave=wave)
+        def misfit_from_c(cP):
             ok = jnp.all(cP >= 0.01)
             b2 = ((obs_c - cP) / uncer) ** 2
             if n_lo and n_hi:
@@ -228,7 +283,7 @@ class PointCascadia(Point):
                     jnp.where(ok, chi, 88888.0),
                     jnp.where(ok, L, 0.0))
 
-        return chi_sqr
+        return misfit_from_c
 
 
 class PostPoint(Point):

@@ -213,7 +213,13 @@ def _group_velocity(F, root, t, mdl, mm):
     (Empirically, adding the d(model)/dT chain shifts u by ~1e-3
     relative and breaks TEST1 group parity.)
     """
-    f_c, f_t = jax.grad(F, argnums=(0, 1))(root, t, mdl, mm)
+    # forward-mode: two scalar tangents through the layer scan cost two
+    # tangent-augmented forward passes and save no residuals, unlike
+    # reverse mode which spills the whole recursion to memory
+    _, f_c = jax.jvp(lambda cc: F(cc, t, mdl, mm), (root,),
+                     (jnp.ones_like(root),))
+    _, f_t = jax.jvp(lambda tt: F(root, tt, mdl, mm), (t,),
+                     (jnp.ones_like(t),))
     f_c = jnp.where(jnp.abs(f_c) > 0, f_c, 1.0)
     return root / (1.0 - (t / root) * f_t / f_c)
 
@@ -440,11 +446,20 @@ def surf_forward_batch(h, vp, vs, rho, qsinv, periods, nlay,
     (:mod:`pysurfinv_tpu.ops.pallas_secular`); otherwise this is a
     plain vmap of :func:`surf_forward`.  Both paths share the bracket /
     refine / implicit-diff algorithm and the same dc-cell semantics.
+
+    ``periods`` may be (P,) shared across the batch, or (B, P) per
+    model (the padded per-grid-point period lists of
+    ``parallel.grid.invert_grid``).
     """
     interp = _pallas_backend(cfg)
     if interp is not None:
         return _surf_forward_batch_fast(h, vp, vs, rho, qsinv, periods,
                                         nlay, wave, cfg, interp)
+    if periods.ndim == 2:
+        return jax.vmap(
+            lambda h_, vp_, vs_, rho_, q_, per_, n_: surf_forward(
+                h_, vp_, vs_, rho_, q_, per_, n_, wave=wave, cfg=cfg),
+        )(h, vp, vs, rho, qsinv, periods, nlay)
     return jax.vmap(
         lambda h_, vp_, vs_, rho_, q_, n_: surf_forward(
             h_, vp_, vs_, rho_, q_, periods, n_, wave=wave, cfg=cfg),
@@ -499,16 +514,17 @@ def _surf_forward_batch_fast(h, vp, vs, rho, qsinv, periods, nlay,
     dc = cfg.dc
     zero_mm = lambda shp: jnp.zeros(shp, jnp.int32)  # noqa: E731
 
-    def sweep(c_start, t_scal, K, step):
+    def sweep(c_start, t_b, K, step):
         """First dc(-or-coarser) sign change above c_start, all models.
 
         Mirrors ``_bracket``/``_first_flip``: the search window stops at
         c >= b_halfspace + 0.3 (calcul.f:165-167) and brackets whose
         root would exceed the halfspace shear velocity are rejected
         (calcul.f:191).  Returns (c_lo, found, mm_at_upper_end).
+        ``t_b`` is the per-model period vector (B,).
         """
         cs = c_start[None, :] + step * jnp.arange(K + 1, dtype=dtype)[:, None]
-        tt = jnp.full_like(cs, t_scal)
+        tt = jnp.broadcast_to(t_b[None, :], cs.shape)
         F, bhs, mm = Fv(cs, tt, zero_mm(cs.shape))
         sgn = _sign(F)
         within = cs < (bhs + 0.3)
@@ -526,7 +542,10 @@ def _surf_forward_batch_fast(h, vp, vs, rho, qsinv, periods, nlay,
         return _illinois(lambda cc: Fv(cc, t_kb, mm_kb)[0], lo, hi, n_iter)
 
     nmodes = cfg.nmodes
-    P = periods.shape[0]
+    # periods: (P,) shared or (B, P) per model; handled as (B, P)
+    periods2 = (jnp.broadcast_to(periods[None], (B, periods.shape[0]))
+                if periods.ndim == 1 else periods).astype(dtype)
+    P = periods2.shape[1]
 
     def bracket_period(t, starts, nscan, coarse0):
         """(nmodes, B) brackets at one period (cf. bracket_period above)."""
@@ -544,18 +563,18 @@ def _surf_forward_batch_fast(h, vp, vs, rho, qsinv, periods, nlay,
             else:
                 c_lo, found, mm = sweep(start, t, nscan, dc)
             if iq < nmodes - 1:
-                t_row = jnp.full((1, B), t, dtype)
                 root_est = illinois_lanes(
-                    t_row, c_lo[None], c_lo[None] + dc, mm[None], 6)[0]
+                    t[None], c_lo[None], c_lo[None] + dc, mm[None], 6)[0]
             c_los.append(c_lo)
             mms.append(mm)
             founds.append(found)
         return jnp.stack(c_los), jnp.stack(mms), jnp.stack(founds)
 
-    t1 = periods[0]
+    t1 = periods2[:, 0]
     c_init = jax.vmap(
-        lambda h_, vs_, q_, n_: _initial_c(h_, vs_, q_, n_, t1, wave, cfg)
-    )(h_eff, vs, qsinv, nlay)
+        lambda h_, vs_, q_, n_, t_: _initial_c(h_, vs_, q_, n_, t_, wave,
+                                               cfg)
+    )(h_eff, vs, qsinv, nlay, t1)
     starts0 = jnp.broadcast_to(c_init[None], (nmodes, B)).astype(dtype)
     lo0, mm0, ok0 = bracket_period(t1, starts0, cfg.nscan_first,
                                    cfg.coarse_first)
@@ -564,7 +583,7 @@ def _surf_forward_batch_fast(h, vp, vs, rho, qsinv, periods, nlay,
 
     def step(carry, t):
         c_start, alive = carry
-        lok, mmk, okk = bracket_period(t, c_start, cfg.nscan, 1)
+        lok, mmk, okk = bracket_period(t, c_start, cfg.nscan, cfg.coarse)
         okk = okk & alive
         if nmodes > 1:
             okk = jax.vmap(_mode_chain, in_axes=1, out_axes=1)(okk)
@@ -573,7 +592,7 @@ def _surf_forward_batch_fast(h, vp, vs, rho, qsinv, periods, nlay,
 
     if P > 1:
         carry0 = (jnp.where(ok0, lo0 - cfg.warm_backoff * dc, starts0), ok0)
-        _, (lor, mmr, okr) = lax.scan(step, carry0, periods[1:])
+        _, (lor, mmr, okr) = lax.scan(step, carry0, periods2[:, 1:].T)
         c_lo = jnp.concatenate([lo0[None], lor], 0)    # (P, nmodes, B)
         mm = jnp.concatenate([mm0[None], mmr], 0)
         ok = jnp.concatenate([ok0[None], okr], 0)
@@ -582,8 +601,7 @@ def _surf_forward_batch_fast(h, vp, vs, rho, qsinv, periods, nlay,
 
     # ---- phase 2: batched Illinois over (P*nmodes, B) lanes ----------
     KL = P * nmodes
-    t_l = jnp.broadcast_to(
-        jnp.repeat(periods, nmodes)[:, None], (KL, B)).astype(dtype)
+    t_l = jnp.repeat(periods2.T, nmodes, axis=0)       # (P*nmodes, B)
     lo_l = c_lo.reshape(KL, B)
     mm_l = mm.reshape(KL, B)
     ok_l = ok.reshape(KL, B)
@@ -592,7 +610,12 @@ def _surf_forward_batch_fast(h, vp, vs, rho, qsinv, periods, nlay,
     _, bhs_l, _ = Fv(root_l, t_l, mm_l)
     ok_l = ok_l & (root_l <= bhs_l)
 
-    # ---- phase 3: group velocity via the differentiable XLA path -----
+    # ---- phase 3: group velocity, u = c / (1 - (T/c) F_T/F_c) --------
+    # Exact forward-mode tangents through the XLA secular scan (finite
+    # differences through the fused kernel fail at shallow roots where
+    # the renormalised f32 secular value sits at the noise floor —
+    # e.g. short-period ocean models).  Forward mode saves no
+    # residuals, so this costs ~2 secular evaluations per lane.
     if cfg.compute_group:
         F = _secular_fn(wave)
 

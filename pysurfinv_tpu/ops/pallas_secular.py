@@ -47,6 +47,13 @@ ACCUR = 1e-8  # regime-switch tolerance, surfa.f:191-192
 LANE = 128  # model-axis block width (TPU lane count)
 
 
+# Mosaic's fori_loop lowering supports only unroll=1 or full unroll; on
+# TPU we fully unroll the layer recursion (registers stay live across
+# layers).  Interpret mode must NOT unroll: the interpreter inlines the
+# kernel jaxpr once per grid program, and 65 programs x a fully
+# unrolled 63-layer body explodes XLA CPU compile time and memory.
+
+
 def _pq(r, wd):
     """Branchless (r*sin, sin/r, cos) for one signed wavenumber regime.
 
@@ -83,14 +90,21 @@ def _wavenumbers(c, a, b):
     return ra, rb, g, g - 1.0, liquid
 
 
-def _rayleigh_kernel(fact, t_base, atten, L,
+def _rayleigh_kernel(fact, t_base, atten, L, unroll,
                      vp_ref, vs_ref, rho_ref, qsi_ref,
                      hf_ref, vf_ref, rf_ref, nlay_ref,
-                     c_ref, t_ref, mmf_ref,
+                     c_ref, t_ref, tm_ref, mmf_ref,
                      f_out, bhs_out, mm_out):
-    """One (Kb, 128) lane block of Rayleigh secular evaluations."""
+    """One (Kb, 128) lane block of Rayleigh secular evaluations.
+
+    ``t`` drives the wavenumber/truncation; ``tm`` drives the material
+    (physical-dispersion) rescale.  They are equal in normal use and
+    differ only for the fixed-material finite differences behind the
+    group velocity (see dispersion._group_velocity's convention).
+    """
     c = c_ref[:]                      # (Kb, 128)
     t = t_ref[:]
+    tm = tm_ref[:]
     mmf = mmf_ref[:]                  # int32, 0 = dynamic truncation
     nlay = nlay_ref[:]                # (1, 128) int32
     frozen = mmf > 0
@@ -98,7 +112,7 @@ def _rayleigh_kernel(fact, t_base, atten, L,
     csq = c * c
     wvno = TWO_PI / (c * t)
     dmax = fact * c * t
-    lnt = jnp.log(t_base / t) / jnp.pi if atten else jnp.zeros_like(t)
+    lnt = jnp.log(t_base / tm) / jnp.pi if atten else jnp.zeros_like(t)
 
     zero = jnp.zeros_like(c)
     one = jnp.ones_like(c)
@@ -124,7 +138,9 @@ def _rayleigh_kernel(fact, t_base, atten, L,
         return a_l, b_l, rho_l * rf_l, hf_l
 
     def body(l, carry):
-        (b1, b2, b3, b4, b5, closed, csum, pending,
+        # masks ride the carry as f32 0/1 — Mosaic cannot round-trip
+        # i1 vectors through an unrolled loop carry (arith.trunci bug)
+        (b1, b2, b3, b4, b5, closed_f, csum, pending_f,
          a_h, b_h, rho_h, mm) = carry
         a_l, b_l, rho_l, d_l = layer_model(l)
 
@@ -132,16 +148,19 @@ def _rayleigh_kernel(fact, t_base, atten, L,
         cond = (c < b_l) & (l < nlay)
         csum = csum + jnp.where(cond, d_l, 0.0)
         exceed = cond & (csum > dmax)
-        close_dyn = pending | exceed | (l == nlay - 1)
-        close_now = (~closed) & (l >= 1) & jnp.where(
-            frozen, l == mmf - 1, close_dyn)
-        pending = pending | (exceed & (l == 0))
+        close_dyn = (pending_f > 0.5) | exceed | (l == nlay - 1)
+        # logical blend, not jnp.where: a bool-valued select lowers
+        # through an i8 vector Mosaic cannot truncate back to i1
+        close_sel = (frozen & (l == mmf - 1)) | (~frozen & close_dyn)
+        close_now = (closed_f < 0.5) & (l >= 1) & close_sel
+        pending_f = jnp.maximum(
+            pending_f, jnp.where(exceed & (l == 0), 1.0, 0.0))
         a_h = jnp.where(close_now, a_l, a_h)
         b_h = jnp.where(close_now, b_l, b_h)
         rho_h = jnp.where(close_now, rho_l, rho_h)
         mm = jnp.where(close_now, l + 1, mm)
-        closed = closed | close_now
-        apply = ~closed
+        closed_f = jnp.maximum(closed_f, jnp.where(close_now, 1.0, 0.0))
+        apply = closed_f < 0.5
 
         # ---- layer propagation (surfa.f:259-335) --------------------
         ra, rb, g, g1, liquid = _wavenumbers(c, a_l, b_l)
@@ -210,14 +229,14 @@ def _rayleigh_kernel(fact, t_base, atten, L,
             jnp.abs(bb5))
         inv = 1.0 / jnp.where(scale > 0.0, scale, 1.0)
         return (bb1 * inv, bb2 * inv, bb3 * inv, bb4 * inv, bb5 * inv,
-                closed, csum, pending, a_h, b_h, rho_h, mm)
+                closed_f, csum, pending_f, a_h, b_h, rho_h, mm)
 
-    carry = (one, zero, zero, zero, zero,
-             jnp.zeros_like(c, jnp.bool_), zero,
-             jnp.zeros_like(c, jnp.bool_), one, one, one,
+    carry = (one, zero, zero, zero, zero, zero, zero, zero,
+             one, one, one,
              jnp.broadcast_to(nlay, c.shape).astype(jnp.int32))
-    carry = jax.lax.fori_loop(0, L - 1, body, carry, unroll=4)
-    (b1, b2, b3, b4, b5, closed, _, _, a_h, b_h, rho_h, mm) = carry
+    carry = jax.lax.fori_loop(0, L - 1, body, carry, unroll=unroll)
+    (b1, b2, b3, b4, b5, closed_f, _, _, a_h, b_h, rho_h, mm) = carry
+    closed = closed_f > 0.5
 
     # lanes never closed in 0..L-2 close with the padded halfspace row
     a_last, b_last, rho_last, _ = layer_model(L - 1)
@@ -244,10 +263,10 @@ def _rayleigh_kernel(fact, t_base, atten, L,
     mm_out[:] = mm.astype(jnp.int32)
 
 
-def _love_kernel(fact, t_base, atten, L,
+def _love_kernel(fact, t_base, atten, L, unroll,
                  vp_ref, vs_ref, rho_ref, qsi_ref,
                  hf_ref, vf_ref, rf_ref, nlay_ref,
-                 c_ref, t_ref, mmf_ref,
+                 c_ref, t_ref, tm_ref, mmf_ref,
                  f_out, bhs_out, mm_out):
     """One (Kb, 128) lane block of Love secular evaluations.
 
@@ -257,13 +276,14 @@ def _love_kernel(fact, t_base, atten, L,
     """
     c = c_ref[:]
     t = t_ref[:]
+    tm = tm_ref[:]
     mmf = mmf_ref[:]
     nlay = nlay_ref[:]
     frozen = mmf > 0
 
     wvno = TWO_PI / (c * t)
     dmax = fact * c * t
-    lnt = jnp.log(t_base / t) / jnp.pi if atten else jnp.zeros_like(t)
+    lnt = jnp.log(t_base / tm) / jnp.pi if atten else jnp.zeros_like(t)
     zero = jnp.zeros_like(c)
     one = jnp.ones_like(c)
 
@@ -279,26 +299,29 @@ def _love_kernel(fact, t_base, atten, L,
 
     # ---- pass 1: truncation walk --------------------------------------
     def trunc_body(l, carry):
-        closed, csum, pending, b_h, rho_h, mm = carry
+        closed_f, csum, pending_f, b_h, rho_h, mm = carry
         b_l, rho_l, d_l = layer_model(l)
         cond = (c < b_l) & (l < nlay)
         csum = csum + jnp.where(cond, d_l, 0.0)
         exceed = cond & (csum > dmax)
-        close_dyn = pending | exceed | (l == nlay - 1)
-        close_now = (~closed) & (l >= 1) & jnp.where(
-            frozen, l == mmf - 1, close_dyn)
-        pending = pending | (exceed & (l == 0))
+        close_dyn = (pending_f > 0.5) | exceed | (l == nlay - 1)
+        # logical blend, not jnp.where: a bool-valued select lowers
+        # through an i8 vector Mosaic cannot truncate back to i1
+        close_sel = (frozen & (l == mmf - 1)) | (~frozen & close_dyn)
+        close_now = (closed_f < 0.5) & (l >= 1) & close_sel
+        pending_f = jnp.maximum(
+            pending_f, jnp.where(exceed & (l == 0), 1.0, 0.0))
         b_h = jnp.where(close_now, b_l, b_h)
         rho_h = jnp.where(close_now, rho_l, rho_h)
         mm = jnp.where(close_now, l + 1, mm)
-        closed = closed | close_now
-        return closed, csum, pending, b_h, rho_h, mm
+        closed_f = jnp.maximum(closed_f, jnp.where(close_now, 1.0, 0.0))
+        return closed_f, csum, pending_f, b_h, rho_h, mm
 
-    carry0 = (jnp.zeros_like(c, jnp.bool_), zero,
-              jnp.zeros_like(c, jnp.bool_), one, one,
+    carry0 = (zero, zero, zero, one, one,
               jnp.broadcast_to(nlay, c.shape).astype(jnp.int32))
-    closed, _, _, b_h, rho_h, mm = jax.lax.fori_loop(
-        0, L - 1, trunc_body, carry0, unroll=4)
+    closed_f, _, _, b_h, rho_h, mm = jax.lax.fori_loop(
+        0, L - 1, trunc_body, carry0, unroll=unroll)
+    closed = closed_f > 0.5
     b_last, rho_last, _ = layer_model(L - 1)
     b_h = jnp.where(closed, b_h, b_last)
     rho_h = jnp.where(closed, rho_h, rho_last)
@@ -344,7 +367,8 @@ def _love_kernel(fact, t_base, atten, L,
         inv = 1.0 / jnp.where(scale > 0, scale, 1.0)
         return eut * inv, ett * inv
 
-    ut, tt = jax.lax.fori_loop(0, L - 1, prop_body, (ut, tt), unroll=4)
+    ut, tt = jax.lax.fori_loop(0, L - 1, prop_body, (ut, tt),
+                               unroll=unroll)
     f_out[:] = -tt
     bhs_out[:] = b_h
     mm_out[:] = mm.astype(jnp.int32)
@@ -364,7 +388,7 @@ def _pad_to(x, n, axis, fill):
 def secular_lanes(c, t, mm_frozen, vp, vs, rho, qsi, h_flat, vel_fac,
                   rho_fac, nlay, wave: str = "rayleigh", fact: float = 4.0,
                   t_base: float = 1.0, atten: bool = True,
-                  interpret: bool = False):
+                  interpret: bool = False, t_mat=None):
     """Evaluate the secular function on a (K, B) lane grid.
 
     Args:
@@ -387,8 +411,10 @@ def secular_lanes(c, t, mm_frozen, vp, vs, rho, qsi, h_flat, vel_fac,
     Kb = 8  # f32 native sublane tile; K is padded up to a multiple
     Kp = -(-K // Kb) * Kb
 
+    t_mat = t if t_mat is None else t_mat
     c = _pad_to(_pad_to(c, Kp, 0, 1.0), Bp, 1, 1.0)
     t = _pad_to(_pad_to(t, Kp, 0, 1.0), Bp, 1, 1.0)
+    tm = _pad_to(_pad_to(t_mat, Kp, 0, 1.0), Bp, 1, 1.0)
     mmf = _pad_to(_pad_to(mm_frozen, Kp, 0, 2), Bp, 1, 2)
     model = [_pad_to(x, Bp, 1, 1.0)
              for x in (vp, vs, rho, qsi, h_flat, vel_fac, rho_fac)]
@@ -396,7 +422,8 @@ def secular_lanes(c, t, mm_frozen, vp, vs, rho, qsi, h_flat, vel_fac,
 
     kern = _rayleigh_kernel if wave in ("rayleigh", "ray", "R") \
         else _love_kernel
-    body = partial(kern, fact, t_base, atten, L)
+    body = partial(kern, fact, t_base, atten, L,
+                   1 if interpret else L - 1)
 
     grid = (Kp // Kb, Bp // LANE)
     mspec = pl.BlockSpec((L, LANE), lambda i, j: (0, j),
@@ -409,7 +436,7 @@ def secular_lanes(c, t, mm_frozen, vp, vs, rho, qsi, h_flat, vel_fac,
     f, bhs, mm = pl.pallas_call(
         body,
         grid=grid,
-        in_specs=[mspec] * 7 + [nspec, lspec, lspec, lspec],
+        in_specs=[mspec] * 7 + [nspec, lspec, lspec, lspec, lspec],
         out_specs=(lspec, lspec, lspec),
         out_shape=(
             jax.ShapeDtypeStruct((Kp, Bp), c.dtype),
@@ -417,5 +444,5 @@ def secular_lanes(c, t, mm_frozen, vp, vs, rho, qsi, h_flat, vel_fac,
             jax.ShapeDtypeStruct((Kp, Bp), jnp.int32),
         ),
         interpret=interpret,
-    )(*model, nlay2, c, t, mmf)
+    )(*model, nlay2, c, t, tm, mmf)
     return f[:K, :B], bhs[:K, :B], mm[:K, :B]

@@ -29,7 +29,7 @@ import numpy as np
 
 def invert_grid(points, lonlats, outdir="mcdata", runN=24000, chainL=800,
                 seed=42, priori=False, wave="rayleigh", mesh=None,
-                verbose=True, point_cls=None):
+                verbose=True, point_cls=None, sampler="batched"):
     """Run MCMC for many grid points as one sharded computation.
 
     Args:
@@ -40,6 +40,11 @@ def invert_grid(points, lonlats, outdir="mcdata", runN=24000, chainL=800,
       runN, chainL, seed, priori: as in Point.MCinvMP.
       mesh:    optional jax Mesh with a "points" axis; default = all
                local devices.
+      sampler: "batched" (default) runs all (point, chain) lanes
+               time-major with one fused batched forward per step —
+               the Pallas path on TPU — under ``shard_map`` over the
+               "points" mesh axis; "legacy" keeps the per-point vmapped
+               chain kernel under automatic sharding.
 
     Returns the list of written file paths.
     """
@@ -48,7 +53,9 @@ def invert_grid(points, lonlats, outdir="mcdata", runN=24000, chainL=800,
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from pysurfinv_tpu.inversion.compiled import BrownianSpec, CompiledModel
-    from pysurfinv_tpu.inversion.mcmc import ChainConfig, make_chain_kernel
+    from pysurfinv_tpu.inversion.mcmc import (ChainConfig,
+                                              make_batched_sampler,
+                                              make_chain_kernel)
     from pysurfinv_tpu.parallel.mesh import points_mesh
 
     if priori and outdir.split("_")[-1] != "priori":
@@ -100,15 +107,7 @@ def invert_grid(points, lonlats, outdir="mcdata", runN=24000, chainL=800,
                 jnp.where(ok, L, 0.0))
 
     cfg = ChainConfig(chain_len=chainL, priori=priori)
-    kernel = make_chain_kernel(isgood, chi_sqr, cfg)
     n_chains = runN // chainL
-
-    def point_fn(key, spec_k, ctx_k):
-        keys = jax.random.split(key, n_chains)
-        use_init = jnp.arange(n_chains) == 0
-        return jax.vmap(lambda kk, ui: kernel(kk, spec_k, ctx_k,
-                                              spec_k.theta0, ui))(keys,
-                                                                  use_init)
 
     mesh = mesh or points_mesh()
     n_dev = mesh.devices.size
@@ -124,17 +123,86 @@ def invert_grid(points, lonlats, outdir="mcdata", runN=24000, chainL=800,
     ctx = (padk(psi), padk(periods), padk(obs_c), padk(uncer), padk(obs_m))
     spec_p = BrownianSpec(*[padk(getattr(spec, f))
                             for f in BrownianSpec._fields])
-    keys = jax.random.split(jax.random.PRNGKey(seed), K + pad)
     put = lambda x: jax.device_put(x, shard)  # noqa: E731
-    ctx = jax.tree.map(put, ctx)
-    spec_p = jax.tree.map(put, spec_p)
-    keys = put(keys)
 
-    run_all = jax.jit(jax.vmap(point_fn))
-    with mesh:
-        tracks = run_all(keys, spec_p, ctx)
-        tracks.block_until_ready()
-    tracks = np.asarray(tracks)[:K]  # (K, n_chains, chainL, 3 + ntheta)
+    if sampler == "batched":
+        from pysurfinv_tpu.ops.dispersion import (SurfConfig,
+                                                  surf_forward_batch)
+
+        scfg = SurfConfig(nmodes=1, compute_group=False)
+
+        def chi_sqr_batch(thetas, ctx_b):
+            psi_b, per_b, c_b, u_b, m_b = ctx_b
+            h, vp, vs, rho, qsi, nlay = cm.build_profile_batch(
+                thetas, psi_b)
+            c, _, okk = surf_forward_batch(h, vp, vs, rho, qsi, per_b,
+                                           nlay, wave=wave, cfg=scfg)
+            cP = jnp.where(okk[:, :, 0], c[:, :, 0], 0.0)
+            ok = jnp.all(jnp.where(m_b, cP >= 0.01, True), axis=1)
+            Nn = jnp.maximum(jnp.sum(m_b, axis=1), 1)
+            chi = jnp.sum(jnp.where(m_b, ((c_b - cP) / u_b) ** 2, 0.0),
+                          axis=1)
+            misfit = jnp.sqrt(chi / Nn)
+            chi = jnp.where(chi < 50, chi, jnp.sqrt(chi * 50.0))
+            L = jnp.exp(-0.5 * chi)
+            return (jnp.where(ok, misfit, 88888.0),
+                    jnp.where(ok, chi, 88888.0),
+                    jnp.where(ok, L, 0.0))
+
+        run = make_batched_sampler(isgood, chi_sqr_batch, cfg)
+
+        # lanes = (point, chain), point-major, sharded on points.
+        # Per-lane keys are a pure function of the GLOBAL lane index,
+        # so the tracks are bitwise independent of the mesh size (see
+        # tests/test_parallel_grid.py sharding-identity test).
+        rep = lambda x: jnp.repeat(x, n_chains, axis=0)  # noqa: E731
+        ctx_l = jax.tree.map(lambda x: put(rep(x)), ctx)
+        spec_l = jax.tree.map(lambda x: put(rep(x)), spec_p)
+        theta0_l = spec_l.theta0
+        use_init = put(jnp.tile(jnp.arange(n_chains) == 0, K + pad))
+        key0 = jax.random.PRNGKey(seed)
+        lane_keys = put(jax.vmap(lambda i: jax.random.fold_in(key0, i))(
+            jnp.arange((K + pad) * n_chains)))
+
+        if n_dev > 1:
+            # check_vma=False: the sampler's scan/while carries start
+            # from unvarying literals (e.g. the secular recursion's e1
+            # seed), which the varying-manual-axes checker rejects even
+            # though the program is purely lane-parallel (no cross-
+            # device communication inside).
+            run_all = jax.shard_map(
+                run, mesh=mesh,
+                in_specs=(P("points"), P("points"), P("points"),
+                          P("points"), P("points")),
+                out_specs=P("points"), check_vma=False)
+        else:
+            run_all = run
+        with mesh:
+            tracks = jax.jit(run_all)(lane_keys, spec_l, ctx_l, theta0_l,
+                                      use_init)
+            tracks.block_until_ready()
+        tracks = np.asarray(tracks).reshape(
+            K + pad, n_chains, chainL, -1)[:K]
+    else:
+        kernel = make_chain_kernel(isgood, chi_sqr, cfg)
+
+        def point_fn(key, spec_k, ctx_k):
+            keys = jax.random.split(key, n_chains)
+            use_init = jnp.arange(n_chains) == 0
+            return jax.vmap(lambda kk, ui: kernel(kk, spec_k, ctx_k,
+                                                  spec_k.theta0, ui))(
+                keys, use_init)
+
+        keys = jax.random.split(jax.random.PRNGKey(seed), K + pad)
+        ctx_p = jax.tree.map(put, ctx)
+        spec_pp = jax.tree.map(put, spec_p)
+        keys = put(keys)
+
+        run_all = jax.jit(jax.vmap(point_fn))
+        with mesh:
+            tracks = run_all(keys, spec_pp, ctx_p)
+            tracks.block_until_ready()
+        tracks = np.asarray(tracks)[:K]  # (K, n_chains, chainL, 3+ntheta)
 
     # ---- write reference-format npz per point ---------------------------
     os.makedirs(outdir, exist_ok=True)

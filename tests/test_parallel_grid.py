@@ -47,6 +47,27 @@ def test_chain_files_are_reference_format(invdir):
     assert np.isfinite(pp.minMod.misfit)
 
 
+def test_sharding_does_not_change_results(invdir, tmp_path):
+    """The same program on a 1-device mesh gives bit-identical tracks.
+
+    Per-lane PRNG keys are a pure function of the global lane index
+    (parallel/grid.py), so mesh size must not leak into the physics —
+    the reference's per-point OS jobs have the same property.
+    """
+    from pysurfinv_tpu.parallel.grid import invert_grid
+    from pysurfinv_tpu.parallel.mesh import points_mesh
+
+    outdir1 = str(tmp_path / "mc1")
+    pts, lls = _mk_points()
+    invert_grid(pts, lls, outdir=outdir1, runN=24, chainL=8, seed=3,
+                mesh=points_mesh(1), verbose=False)
+    for lon, lat in lls:
+        pid = f"{lon:g}_{lat:g}"
+        a = np.load(f"{invdir}/{pid}.npz", allow_pickle=True)["mcTrack"]
+        b = np.load(f"{outdir1}/{pid}.npz", allow_pickle=True)["mcTrack"]
+        np.testing.assert_array_equal(a, b)
+
+
 def test_model3d_pipeline(invdir):
     from pysurfinv_tpu.geo.model3d import Model3D
     m3 = Model3D()
