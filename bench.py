@@ -82,15 +82,18 @@ def main():
     QSI = jnp.asarray(batch[:, 4])
     NL = jnp.full((B,), nlay, dtype=jnp.int32)
 
-    # nbisect=16: from a dc-wide bracket, Illinois reaches ~1e-8 km/s —
-    # two orders below the 0.1% parity target (verified vs nbisect=40).
-    # nscan=64: 0.64 km/s warm window above the previous period's
-    # bracket covers the c(T) steps of every model family shipped.
+    # nbisect=13: from the 2*dc warm bracket, Illinois converges to the
+    # f32 root noise floor (~1e-4; verified max|dc| unchanged vs
+    # nbisect=40 on this workload).  nscan=24 at coarse=2 with
+    # warm_backoff=6 covers c(T) steps up to 0.18 km/s between adjacent
+    # periods — 3x the largest step of the shipped model families —
+    # validated ok=1.000 + root parity vs the nscan=64 wide window.
     cfg = SurfConfig(
         nmodes=1,
         nscan_first=int(os.environ.get("BENCH_NSCAN_FIRST", 512)),
-        nscan=int(os.environ.get("BENCH_NSCAN", 64)),
-        nbisect=int(os.environ.get("BENCH_NBISECT", 16)),
+        nscan=int(os.environ.get("BENCH_NSCAN", 24)),
+        nbisect=int(os.environ.get("BENCH_NBISECT", 13)),
+        warm_backoff=int(os.environ.get("BENCH_BACKOFF", 6)),
         backend=os.environ.get("BENCH_BACKEND", "auto"),
         compute_group=os.environ.get("BENCH_GROUP", "1") == "1")
 

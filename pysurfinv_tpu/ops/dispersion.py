@@ -547,8 +547,17 @@ def _surf_forward_batch_fast(h, vp, vs, rho, qsinv, periods, nlay,
                 if periods.ndim == 1 else periods).astype(dtype)
     P = periods2.shape[1]
 
-    def bracket_period(t, starts, nscan, coarse0):
-        """(nmodes, B) brackets at one period (cf. bracket_period above)."""
+    def bracket_period(t, starts, nscan, coarse0, narrow):
+        """(nmodes, B) brackets at one period (cf. bracket_period above).
+
+        ``narrow``: re-scan the coarse hit cell down to dc (the cold
+        first period, whose coarse step is large).  Warm periods skip
+        the re-scan: the bracket stays ``coarse0 * dc`` wide and the
+        Illinois refinement absorbs it (one extra iteration) — one
+        kernel launch and ``coarse0 + 1`` probe rows cheaper per period.
+        Bracket widths are static; :func:`_bracket_widths` mirrors the
+        branch structure here.
+        """
         c_los, mms, founds = [], [], []
         root_est = None
         for iq in range(nmodes):
@@ -557,18 +566,28 @@ def _surf_forward_batch_fast(h, vp, vs, rho, qsinv, periods, nlay,
                 start = jnp.maximum(start, root_est + 0.01 * dc)
             if iq == 0 and coarse0 > 1:
                 k = max(nscan // coarse0, 1)
-                c_c, found_c, _ = sweep(start, t, k, coarse0 * dc)
-                c_lo, found_f, mm = sweep(c_c, t, coarse0, dc)
-                found = found_c & found_f
+                c_lo, found, mm = sweep(start, t, k, coarse0 * dc)
+                width = coarse0 * dc
+                if narrow:
+                    c_lo2, found_f, mm2 = sweep(c_lo, t, coarse0, dc)
+                    c_lo, mm = c_lo2, mm2
+                    found = found & found_f
+                    width = dc
             else:
                 c_lo, found, mm = sweep(start, t, nscan, dc)
+                width = dc
             if iq < nmodes - 1:
                 root_est = illinois_lanes(
-                    t[None], c_lo[None], c_lo[None] + dc, mm[None], 6)[0]
+                    t[None], c_lo[None], c_lo[None] + width, mm[None], 6)[0]
             c_los.append(c_lo)
             mms.append(mm)
             founds.append(found)
         return jnp.stack(c_los), jnp.stack(mms), jnp.stack(founds)
+
+    def _bracket_widths(coarse0, narrow):
+        """Static per-mode bracket widths matching bracket_period."""
+        w0 = dc if (narrow or coarse0 <= 1) else coarse0 * dc
+        return [w0] + [dc] * (nmodes - 1)
 
     t1 = periods2[:, 0]
     c_init = jax.vmap(
@@ -577,13 +596,14 @@ def _surf_forward_batch_fast(h, vp, vs, rho, qsinv, periods, nlay,
     )(h_eff, vs, qsinv, nlay, t1)
     starts0 = jnp.broadcast_to(c_init[None], (nmodes, B)).astype(dtype)
     lo0, mm0, ok0 = bracket_period(t1, starts0, cfg.nscan_first,
-                                   cfg.coarse_first)
+                                   cfg.coarse_first, narrow=True)
     if nmodes > 1:
         ok0 = jax.vmap(_mode_chain, in_axes=1, out_axes=1)(ok0)
 
     def step(carry, t):
         c_start, alive = carry
-        lok, mmk, okk = bracket_period(t, c_start, cfg.nscan, cfg.coarse)
+        lok, mmk, okk = bracket_period(t, c_start, cfg.nscan, cfg.coarse,
+                                       narrow=False)
         okk = okk & alive
         if nmodes > 1:
             okk = jax.vmap(_mode_chain, in_axes=1, out_axes=1)(okk)
@@ -606,28 +626,39 @@ def _surf_forward_batch_fast(h, vp, vs, rho, qsinv, periods, nlay,
     mm_l = mm.reshape(KL, B)
     ok_l = ok.reshape(KL, B)
 
-    root_l = illinois_lanes(t_l, lo_l, lo_l + dc, mm_l, cfg.nbisect)
-    _, bhs_l, _ = Fv(root_l, t_l, mm_l)
+    # static per-(period, mode) bracket widths -> (KL, 1)
+    w_pm = ([_bracket_widths(cfg.coarse_first, True)]
+            + [_bracket_widths(cfg.coarse, False)] * (P - 1))
+    w_l = jnp.asarray([w for per in w_pm for w in per],
+                      dtype).reshape(KL, 1)
+
+    root_l = illinois_lanes(t_l, lo_l, lo_l + w_l, mm_l, cfg.nbisect)
+
+    # root <= b_halfspace (calcul.f:191): b_hs for the frozen truncation
+    # is layer mm-1's attenuated+flattened shear velocity — a pure XLA
+    # gather, one kernel launch cheaper than re-evaluating the secular.
+    idx_h = (mm_l - 1).astype(jnp.int32)
+    lnt_l = (jnp.log(cfg.t_base / t_l) / jnp.pi if cfg.atten
+             else jnp.zeros_like(t_l))
+    gat = lambda a: jnp.take_along_axis(a, idx_h, axis=0)  # noqa: E731
+    bhs_l = (gat(model_T[1]) * (1.0 + gat(model_T[3]) * lnt_l)
+             * gat(model_T[5]))
     ok_l = ok_l & (root_l <= bhs_l)
 
     # ---- phase 3: group velocity, u = c / (1 - (T/c) F_T/F_c) --------
-    # Exact forward-mode tangents through the XLA secular scan (finite
-    # differences through the fused kernel fail at shallow roots where
-    # the renormalised f32 secular value sits at the noise floor —
-    # e.g. short-period ocean models).  Forward mode saves no
-    # residuals, so this costs ~2 secular evaluations per lane.
+    # Exact forward-mode tangents *inside* the fused kernel
+    # (secular_lanes_grad): one launch for all lanes, primal residuals
+    # reused by both tangents.  Finite differences through the kernel
+    # fail at shallow roots where the renormalised f32 secular value
+    # sits at the noise floor — e.g. short-period ocean models.
     if cfg.compute_group:
-        F = _secular_fn(wave)
+        from pysurfinv_tpu.ops.pallas_secular import secular_lanes_grad
 
-        def group_one(root, t, mmi, vp_i, vs_i, rho_i, q_i, fac_i):
-            mdl = _model_at_period(t, vp_i, vs_i, rho_i, q_i, fac_i, cfg)
-            return _group_velocity(F, root, t, mdl, mmi)
-
-        u_l = jax.vmap(  # over models (axis 1 of the lane grid)
-            jax.vmap(group_one, in_axes=(0, 0, 0, None, None, None, None,
-                                         None)),
-            in_axes=(1, 1, 1, 0, 0, 0, 0, 0), out_axes=1,
-        )(root_l, t_l, mm_l, vp, vs, rho, qsinv, fac)
+        _, fc_l, ft_l = secular_lanes_grad(
+            root_l, t_l, mm_l, *model_T, nlay, wave=wave,
+            t_base=cfg.t_base, atten=cfg.atten, interpret=interpret)
+        fc_l = jnp.where(jnp.abs(fc_l) > 0, fc_l, 1.0)
+        u_l = root_l / (1.0 - (t_l / root_l) * ft_l / fc_l)
     else:
         u_l = jnp.zeros_like(root_l)
 

@@ -90,6 +90,126 @@ def _wavenumbers(c, a, b):
     return ra, rb, g, g - 1.0, liquid
 
 
+def _ray_prop(cv, tv, b1, b2, b3, b4, b5, a_l, b_l, rho_l, d_l):
+    """Unscaled Dunkin 5-vector update through one layer (surfa.f:259-335).
+
+    Pure elementwise function of the trial (c, T) and the incoming
+    5-vector, with the layer material held constant — the form both the
+    plain kernel and the ``jax.linearize``-based gradient kernel share.
+    """
+    csq = cv * cv
+    wvno = TWO_PI / (cv * tv)
+    zero = jnp.zeros_like(cv)
+    one = jnp.ones_like(cv)
+
+    ra, rb, g, g1, liquid = _wavenumbers(cv, a_l, b_l)
+    wd = wvno * d_l
+    rsinp, sinpr, cosp = _pq(ra, wd)
+    rsinq, sinqr, cosq = _pq(rb, wd)
+
+    rhoc = rho_l * csq
+    rr = rsinp * rsinq
+    ss = sinpr * sinqr
+    cc = cosp * cosq
+    rs1 = rsinp * cosq
+    rs2 = sinqr * cosp
+    rs3 = sinpr * cosq
+    rs4 = rsinq * cosp
+    gm = 2.0 * g - 1.0
+    gs = g * g
+    g1s = g1 * g1
+    ccm = 1.0 - cc
+    gg1 = g * g1
+    rhocs = rhoc * rhoc
+    suu = gs * rr + g1s * ss
+    inv_rhoc = 1.0 / rhoc
+
+    e11 = (2.0 * gs - gm) * cc - suu - 2.0 * gg1
+    e12 = -(rs1 + rs2) * inv_rhoc
+    e13 = -2.0 * (gm * ccm + g1 * ss + g * rr) * inv_rhoc
+    e14 = (rs3 + rs4) * inv_rhoc
+    e15 = (2.0 * ccm + rr + ss) * inv_rhoc * inv_rhoc
+    e21 = rhoc * (g1s * rs3 + gs * rs4)
+    e22 = cc
+    e23 = 2.0 * (g * rs4 + g1 * rs3)
+    e24 = sinpr * rsinq
+    e31 = rhoc * (gg1 * gm * ccm + g1s * g1 * ss + gs * g * rr)
+    e32 = g1 * rs2 + g * rs1
+    e33 = 1.0 + 2.0 * (2.0 * gg1 * ccm + suu)
+    e41 = -rhoc * (g1s * rs2 + gs * rs1)
+    e42 = rsinp * sinqr
+    e51 = rhocs * (2.0 * gs * g1s * ccm + gs * gs * rr
+                   + g1s * g1s * ss)
+
+    # liquid-surface-layer override (surfa.f:216-251)
+    e11 = jnp.where(liquid, cosp, e11)
+    e21 = jnp.where(liquid, rhoc * sinpr, e21)
+    liq0 = jnp.where(liquid, zero, one)
+    e12, e13, e14, e15 = (x * liq0 for x in (e12, e13, e14, e15))
+    e22, e23, e24 = (x * liq0 for x in (e22, e23, e24))
+    e31, e32, e33 = (x * liq0 for x in (e31, e32, e33))
+    e41, e42, e51 = (x * liq0 for x in (e41, e42, e51))
+
+    bb1 = e11 * b1 + e12 * b2 + e13 * b3 + e14 * b4 + e15 * b5
+    bb2 = e21 * b1 + e22 * b2 + e23 * b3 + e24 * b4 - e14 * b5
+    bb3 = (e31 * b1 + e32 * b2 + e33 * b3 - 0.5 * e23 * b4
+           + 0.5 * e13 * b5)
+    bb4 = e41 * b1 + e42 * b2 - 2.0 * e32 * b3 + e22 * b4 - e12 * b5
+    bb5 = e51 * b1 - e41 * b2 + 2.0 * e31 * b3 - e21 * b4 + e11 * b5
+    return bb1, bb2, bb3, bb4, bb5
+
+
+def _ray_closure(cv, b1, b2, b3, b4, b5, a_h, b_h, rho_h):
+    """Halfspace closure -> secular value (surfa.f:340-354)."""
+    csq = cv * cv
+    ra_h, rb_h, g_h, g1_h, _ = _wavenumbers(cv, a_h, b_h)
+    ra_h = jnp.where(jnp.abs(ra_h) > ACCUR, ra_h, -ACCUR)
+    den = rho_h * a_h * a_h
+    gra = g_h * ra_h
+    rba = rb_h - 1.0 / ra_h
+    A11 = (-2.0 * rb_h * (b_h * b_h) / (a_h * a_h)
+           + csq * (g1_h * g1_h) / ((a_h * a_h) * gra))
+    A12 = -1.0 / (g_h * den)
+    A13 = -rb_h / den + g1_h / (den * gra)
+    A14 = rb_h / (den * gra)
+    A15 = rba / ((rho_h * a_h) ** 2 * csq * g_h)
+    return -(A11 * b1 + A12 * b2 + 2.0 * A13 * b3 + A14 * b4
+             + A15 * b5)
+
+
+def _love_prop(cv, tv, ut, tt, b_l, rho_l, d_l):
+    """Unscaled Haskell (u, stress) update through one layer
+    (surfa.f:156-172); water layers are the caller's mask."""
+    wvno = TWO_PI / (cv * tv)
+    water = jnp.abs(b_l) <= ACCUR
+    b_safe = jnp.where(water, 1.0, b_l)
+    rb = jnp.sqrt(jnp.abs((cv / b_safe) ** 2 - 1.0))
+    hmu = rho_l * b_safe * b_safe
+    q = -wvno * d_l * rb
+    osc = (cv > b_safe) & (rb >= 1e-20)
+    ev = (cv < b_safe) & (rb >= 1e-20)
+    q_osc = jnp.where(osc, q, 0.0)
+    q_ev = jnp.where(ev, q, 0.0)
+    rb_safe = jnp.where(rb >= 1e-20, rb, 1.0)
+    eq = jnp.exp(q_ev)  # q_ev <= 0
+    shq, chq = 0.5 * (eq - 1.0 / eq), 0.5 * (eq + 1.0 / eq)
+    sn = jnp.sin(q_osc)
+    y = jnp.where(osc, sn / rb_safe,
+                  jnp.where(ev, shq / rb_safe, -wvno * d_l))
+    z = jnp.where(osc, rb * sn, jnp.where(ev, -rb * shq, 0.0))
+    cosq = jnp.where(osc, jnp.cos(q_osc), jnp.where(ev, chq, 1.0))
+    eut = cosq * ut - y * tt / hmu
+    ett = hmu * z * ut + cosq * tt
+    return eut, ett
+
+
+def _love_init(cv, b_h, rho_h):
+    """Halfspace initial (u, stress) for Love (surfa.f:143-148)."""
+    b_hs = jnp.where(jnp.abs(b_h) > ACCUR, b_h, 1.0)
+    rb_h = jnp.sqrt(jnp.abs((cv / b_hs) ** 2 - 1.0))
+    return jnp.ones_like(cv), rho_h * b_hs * b_hs * rb_h
+
+
 def _rayleigh_kernel(fact, t_base, atten, L, unroll,
                      vp_ref, vs_ref, rho_ref, qsi_ref,
                      hf_ref, vf_ref, rf_ref, nlay_ref,
@@ -372,6 +492,237 @@ def _love_kernel(fact, t_base, atten, L, unroll,
     f_out[:] = -tt
     bhs_out[:] = b_h
     mm_out[:] = mm.astype(jnp.int32)
+
+
+def _rayleigh_grad_kernel(t_base, atten, L, unroll,
+                          vp_ref, vs_ref, rho_ref, qsi_ref,
+                          hf_ref, vf_ref, rf_ref, nlay_ref,
+                          c_ref, t_ref, tm_ref, mmf_ref,
+                          f_out, fc_out, ft_out):
+    """(F, dF/dc, dF/dT) at a *frozen* truncation, one lane block.
+
+    Forward-mode tangents via ``jax.linearize`` of the per-layer update:
+    the primal recursion runs once, and the two tangents (w.r.t. the
+    trial c and the wavenumber period T) reuse its residuals — no extra
+    transcendentals.  The material (attenuation) period ``tm`` is held
+    constant, matching the reference's fixed-material group-velocity
+    convention (see dispersion._group_velocity), and the per-layer
+    renormalisation factor is treated as an AD constant exactly like the
+    ``stop_gradient`` in ``ops.secular``.  Powers the group velocity
+    u = c / (1 - (T/c) F_T/F_c) without leaving the fused kernel.
+    """
+    c = c_ref[:]
+    t = t_ref[:]
+    tm = tm_ref[:]
+    mmf = mmf_ref[:]                  # int32, always >= 2 here
+    lnt = jnp.log(t_base / tm) / jnp.pi if atten else None
+    one = jnp.ones_like(c)
+    zero = jnp.zeros_like(c)
+
+    def layer_model(l):
+        vp_l = vp_ref[l][None, :]
+        vs_l = vs_ref[l][None, :]
+        rho_l = rho_ref[l][None, :]
+        qsi_l = qsi_ref[l][None, :]
+        hf_l = hf_ref[l][None, :]
+        vf_l = vf_ref[l][None, :]
+        rf_l = rf_ref[l][None, :]
+        if atten:
+            qsq = qsi_l * lnt
+            vp_s = jnp.where(jnp.abs(vp_l) > 0, vp_l, 1.0)
+            qpq = qsq * 1.33333333 * (vs_l / vp_s) ** 2
+            a_l = vp_l * (1.0 + qpq) * vf_l
+            b_l = vs_l * (1.0 + qsq) * vf_l
+        else:
+            a_l = vp_l * vf_l
+            b_l = vs_l * vf_l
+        return a_l, b_l, rho_l * rf_l, hf_l
+
+    a_last, b_last, rho_last, _ = layer_model(L - 1)
+
+    def body(l, carry):
+        (b1, b2, b3, b4, b5,
+         c1, c2, c3, c4, c5,      # d/dc tangents
+         t1, t2, t3, t4, t5,      # d/dT tangents
+         a_h, b_h, rho_h) = carry
+        a_l, b_l, rho_l, d_l = layer_model(l)
+        capture = l == mmf - 1
+        a_h = jnp.where(capture, a_l, a_h)
+        b_h = jnp.where(capture, b_l, b_h)
+        rho_h = jnp.where(capture, rho_l, rho_h)
+        apply = l < (mmf - 1)
+
+        def prop(cv, tv, x1, x2, x3, x4, x5):
+            return _ray_prop(cv, tv, x1, x2, x3, x4, x5,
+                             a_l, b_l, rho_l, d_l)
+
+        primal, lin = jax.linearize(prop, c, t, b1, b2, b3, b4, b5)
+        dcs = lin(one, zero, c1, c2, c3, c4, c5)
+        dts = lin(zero, one, t1, t2, t3, t4, t5)
+
+        nb = [jnp.where(apply, p, o)
+              for p, o in zip(primal, (b1, b2, b3, b4, b5))]
+        ndc = [jnp.where(apply, p, o)
+               for p, o in zip(dcs, (c1, c2, c3, c4, c5))]
+        ndt = [jnp.where(apply, p, o)
+               for p, o in zip(dts, (t1, t2, t3, t4, t5))]
+        scale = nb[0]
+        for x in nb[1:]:
+            scale = jnp.maximum(jnp.abs(scale), jnp.abs(x))
+        scale = jnp.abs(scale)
+        inv = 1.0 / jnp.where(scale > 0.0, scale, 1.0)
+        out = [x * inv for x in nb + ndc + ndt]
+        return tuple(out) + (a_h, b_h, rho_h)
+
+    bcast = lambda x: jnp.broadcast_to(x, c.shape)  # noqa: E731
+    carry = ((one, zero, zero, zero, zero)
+             + (zero,) * 10
+             + (bcast(a_last), bcast(b_last), bcast(rho_last)))
+    carry = jax.lax.fori_loop(0, L - 1, body, carry, unroll=unroll)
+    b = carry[0:5]
+    dc = carry[5:10]
+    dt = carry[10:15]
+    a_h, b_h, rho_h = carry[15:18]
+
+    def clos(cv, x1, x2, x3, x4, x5):
+        return _ray_closure(cv, x1, x2, x3, x4, x5, a_h, b_h, rho_h)
+
+    F, lin = jax.linearize(clos, c, *b)
+    f_out[:] = F
+    fc_out[:] = lin(one, *dc)
+    ft_out[:] = lin(zero, *dt)
+
+
+def _love_grad_kernel(t_base, atten, L, unroll,
+                      vp_ref, vs_ref, rho_ref, qsi_ref,
+                      hf_ref, vf_ref, rf_ref, nlay_ref,
+                      c_ref, t_ref, tm_ref, mmf_ref,
+                      f_out, fc_out, ft_out):
+    """Love analogue of :func:`_rayleigh_grad_kernel` (frozen mm)."""
+    c = c_ref[:]
+    t = t_ref[:]
+    tm = tm_ref[:]
+    mmf = mmf_ref[:]
+    lnt = jnp.log(t_base / tm) / jnp.pi if atten else None
+    one = jnp.ones_like(c)
+    zero = jnp.zeros_like(c)
+
+    def layer_model(l):
+        vs_l = vs_ref[l][None, :]
+        rho_l = rho_ref[l][None, :]
+        qsi_l = qsi_ref[l][None, :]
+        hf_l = hf_ref[l][None, :]
+        vf_l = vf_ref[l][None, :]
+        rf_l = rf_ref[l][None, :]
+        b_l = (vs_l * (1.0 + qsi_l * lnt) if atten else vs_l) * vf_l
+        return b_l, rho_l * rf_l, hf_l
+
+    # halfspace row at the frozen mm
+    b_last, rho_last, _ = layer_model(L - 1)
+
+    def cap_body(l, carry):
+        b_h, rho_h = carry
+        b_l, rho_l, _ = layer_model(l)
+        capture = l == mmf - 1
+        return (jnp.where(capture, b_l, b_h),
+                jnp.where(capture, rho_l, rho_h))
+
+    b_h, rho_h = jax.lax.fori_loop(
+        0, L - 1, cap_body,
+        (jnp.broadcast_to(b_last, c.shape),
+         jnp.broadcast_to(rho_last, c.shape)), unroll=unroll)
+
+    (ut, tt), lin0 = jax.linearize(
+        lambda cv: _love_init(cv, b_h, rho_h), c)
+    utc, ttc = lin0(one)
+    utt, ttt = zero, zero
+    scale0 = jnp.maximum(jnp.abs(ut), jnp.abs(tt))
+    inv0 = 1.0 / jnp.where(scale0 > 0, scale0, 1.0)
+    ut, tt, utc, ttc = ut * inv0, tt * inv0, utc * inv0, ttc * inv0
+
+    def body(i, carry):
+        ut, tt, utc, ttc, utt, ttt = carry
+        l = L - 2 - i
+        b_l, rho_l, d_l = layer_model(l)
+        water = jnp.abs(b_l) <= ACCUR
+        apply = (l <= mmf - 2) & ~water
+
+        def prop(cv, tv, u, s):
+            return _love_prop(cv, tv, u, s, b_l, rho_l, d_l)
+
+        (pu, ps), lin = jax.linearize(prop, c, t, ut, tt)
+        duc, dsc = lin(one, zero, utc, ttc)
+        dut, dst = lin(zero, one, utt, ttt)
+        nut = jnp.where(apply, pu, ut)
+        ntt = jnp.where(apply, ps, tt)
+        nutc = jnp.where(apply, duc, utc)
+        nttc = jnp.where(apply, dsc, ttc)
+        nutt = jnp.where(apply, dut, utt)
+        nttt = jnp.where(apply, dst, ttt)
+        scale = jnp.maximum(jnp.abs(nut), jnp.abs(ntt))
+        inv = 1.0 / jnp.where(scale > 0, scale, 1.0)
+        return (nut * inv, ntt * inv, nutc * inv, nttc * inv,
+                nutt * inv, nttt * inv)
+
+    ut, tt, utc, ttc, utt, ttt = jax.lax.fori_loop(
+        0, L - 1, body, (ut, tt, utc, ttc, utt, ttt), unroll=unroll)
+    f_out[:] = -tt
+    fc_out[:] = -ttc
+    ft_out[:] = -ttt
+
+
+@partial(jax.jit, static_argnames=("wave", "t_base", "atten", "interpret"))
+def secular_lanes_grad(c, t, mm_frozen, vp, vs, rho, qsi, h_flat, vel_fac,
+                       rho_fac, nlay, wave: str = "rayleigh",
+                       t_base: float = 1.0, atten: bool = True,
+                       interpret: bool = False):
+    """(F, dF/dc, dF/dT) on a (K, B) lane grid at frozen truncation.
+
+    Same lane layout and model transposition as :func:`secular_lanes`;
+    ``mm_frozen`` must be >= 2 everywhere (the NEVILL frozen-mm
+    convention — this entry point has no dynamic-truncation mode).
+    The tangents follow the fixed-material convention of
+    ``dispersion._group_velocity``:  dF/dT is the partial through the
+    wavenumbers only, with the attenuated material held at ``t``.
+    """
+    K, B = c.shape
+    L = vp.shape[0]
+    Bp = -(-B // LANE) * LANE
+    Kb = 8
+    Kp = -(-K // Kb) * Kb
+
+    c = _pad_to(_pad_to(c, Kp, 0, 1.0), Bp, 1, 1.0)
+    t = _pad_to(_pad_to(t, Kp, 0, 1.0), Bp, 1, 1.0)
+    mmf = _pad_to(_pad_to(mm_frozen, Kp, 0, 2), Bp, 1, 2)
+    model = [_pad_to(x, Bp, 1, 1.0)
+             for x in (vp, vs, rho, qsi, h_flat, vel_fac, rho_fac)]
+    nlay2 = _pad_to(nlay.astype(jnp.int32)[None, :], Bp, 1, 2)
+
+    kern = _rayleigh_grad_kernel if wave in ("rayleigh", "ray", "R") \
+        else _love_grad_kernel
+    body = partial(kern, t_base, atten, L, 1 if interpret else L - 1)
+
+    grid = (Kp // Kb, Bp // LANE)
+    mspec = pl.BlockSpec((L, LANE), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM)
+    lspec = pl.BlockSpec((Kb, LANE), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM)
+    nspec = pl.BlockSpec((1, LANE), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM)
+
+    f, fc, ft = pl.pallas_call(
+        body,
+        grid=grid,
+        in_specs=[mspec] * 7 + [nspec, lspec, lspec, lspec, lspec],
+        out_specs=(lspec, lspec, lspec),
+        out_shape=(
+            jax.ShapeDtypeStruct((Kp, Bp), c.dtype),
+            jax.ShapeDtypeStruct((Kp, Bp), c.dtype),
+            jax.ShapeDtypeStruct((Kp, Bp), c.dtype),
+        ),
+        interpret=interpret,
+    )(*model, nlay2, c, t, t, mmf)
+    return f[:K, :B], fc[:K, :B], ft[:K, :B]
 
 
 def _pad_to(x, n, axis, fill):

@@ -118,6 +118,57 @@ def test_frozen_mm(batch, wave):
     np.testing.assert_array_equal(np.asarray(mm), 12)
 
 
+@pytest.mark.parametrize("wave", ["rayleigh", "love"])
+def test_grad_kernel_matches_xla_jvp(batch, wave):
+    """secular_lanes_grad: primal == plain kernel; F_T/F_c == XLA jvp.
+
+    The ratio F_T/F_c is the quantity group velocity consumes
+    (u = c / (1 - (T/c) F_T/F_c)); the per-layer renorm treats the
+    rescale as an AD constant on both paths, so only the ratio is
+    contractually shared (absolute tangents carry the scale factors).
+    """
+    from pysurfinv_tpu.ops.secular import attenuation_rescale
+    from pysurfinv_tpu.ops.pallas_secular import secular_lanes_grad
+
+    h, vp, vs, rho, qsi, nlay = batch
+    periods = [15.0, 40.0, 90.0]
+    cs = np.array([[3.4, 3.5, 3.6], [3.7, 3.8, 3.9],
+                   [4.0, 4.1, 4.2]], np.float32)
+    model_T, fac, c, t, nl = _lanes_inputs(batch, periods, cs, wave)
+    mmf = jnp.full(c.shape, 40, jnp.int32)
+
+    F, Fc, Ft = secular_lanes_grad(c, t, mmf, *model_T, nl, wave=wave,
+                                   interpret=True)
+    Fp, _, _ = secular_lanes(c, t, mmf, *model_T, nl, wave=wave,
+                             interpret=True)
+    np.testing.assert_array_equal(np.asarray(F), np.asarray(Fp))
+
+    vp_j, vs_j = jnp.asarray(vp), jnp.asarray(vs)
+    rho_j, qsi_j = jnp.asarray(rho), jnp.asarray(qsi)
+
+    def xla_F(cv, tv, ib, ik):
+        tm = jnp.asarray(periods[ik], c.dtype)  # material held fixed
+        a_t, b_t = attenuation_rescale(vp_j[ib], vs_j[ib], qsi_j[ib], tm)
+        a = a_t * fac.vel_fac[ib]
+        b = b_t * fac.vel_fac[ib]
+        r = rho_j[ib] * fac.rho_fac[ib]
+        d = fac.h_flat[ib]
+        if wave == "rayleigh":
+            return rayleigh_secular(cv, tv, a, b, r, d, 40)
+        return love_secular(cv, tv, b, r, d, 40)
+
+    one = jnp.ones((), c.dtype)
+    for ik in range(len(periods)):
+        for ib in range(h.shape[0]):
+            cv = jnp.asarray(cs[ik, ib], c.dtype)
+            tv = jnp.asarray(periods[ik], c.dtype)
+            _, fc = jax.jvp(lambda x: xla_F(x, tv, ib, ik), (cv,), (one,))
+            _, ft = jax.jvp(lambda x: xla_F(cv, x, ib, ik), (tv,), (one,))
+            ratio_x = float(ft / fc)
+            ratio_p = float(Ft[ik, ib] / Fc[ik, ib])
+            assert abs(ratio_p - ratio_x) <= 2e-3 * max(abs(ratio_x), 1e-6)
+
+
 def test_batch_fast_path_matches_vmap(batch):
     """End-to-end: the Pallas batched solver (interpret) == vmapped XLA.
 
