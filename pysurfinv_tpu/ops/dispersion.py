@@ -60,6 +60,16 @@ class SurfConfig(NamedTuple):
     #                           bracket, Illinois' supra-linear convergence
     #                           reaches well past the reference NEVILL
     #                           tolerance of 1e-6 (surfa.f:10) in ~10 steps.
+    nnewton: int = 0          # >0 routes refinement through the fused
+    #                           refine_lanes kernel: nbisect Illinois +
+    #                           nnewton bracket-clamped Newton iterations
+    #                           (the last evaluation-only, yielding group
+    #                           velocity from its tangents).  Default 0 =
+    #                           separate Illinois launches + one tangent
+    #                           launch — measured FASTER on v5e (the fused
+    #                           kernel's plain+grad bodies together overflow
+    #                           Mosaic's per-kernel VMEM stack and spill).
+    #                           XLA path ignores this.
     coarse: int = 2           # warm-period sweep step, in dc.  The sweep
     #                           narrows its hit cell back to dc, so the only
     #                           failure class is a *pair* of roots inside one
@@ -631,8 +641,41 @@ def _surf_forward_batch_fast(h, vp, vs, rho, qsinv, periods, nlay,
             + [_bracket_widths(cfg.coarse, False)] * (P - 1))
     w_l = jnp.asarray([w for per in w_pm for w in per],
                       dtype).reshape(KL, 1)
+    hi_l = jnp.broadcast_to(lo_l + w_l, lo_l.shape)
 
-    root_l = illinois_lanes(t_l, lo_l, lo_l + w_l, mm_l, cfg.nbisect)
+    if cfg.nnewton >= 1:
+        # fused refine: all Illinois iterations + Newton tail + group
+        # tangents in ONE kernel launch (the model strip loads into
+        # VMEM once for the whole refinement)
+        from pysurfinv_tpu.ops.pallas_secular import refine_lanes
+
+        root_l, u_l = refine_lanes(
+            lo_l, hi_l, t_l, mm_l, *model_T, nlay, wave=wave,
+            t_base=cfg.t_base, atten=cfg.atten, n_ill=cfg.nbisect,
+            n_newton=cfg.nnewton, compute_group=cfg.compute_group,
+            interpret=interpret)
+    else:
+        root_l = illinois_lanes(t_l, lo_l, hi_l, mm_l, cfg.nbisect)
+        # ---- group velocity, u = c / (1 - (T/c) F_T/F_c) ------------
+        # Exact forward-mode tangents *inside* the fused kernel
+        # (secular_lanes_grad): one launch for all lanes, primal
+        # residuals reused by both tangents.  Finite differences
+        # through the kernel fail at shallow roots where the
+        # renormalised f32 secular value sits at the noise floor.
+        if cfg.compute_group:
+            from pysurfinv_tpu.ops.pallas_secular import secular_lanes_grad
+
+            f0_l, fc_l, ft_l = secular_lanes_grad(
+                root_l, t_l, mm_l, *model_T, nlay, wave=wave,
+                t_base=cfg.t_base, atten=cfg.atten, interpret=interpret)
+            fc_l = jnp.where(jnp.abs(fc_l) > 0, fc_l, 1.0)
+            u_l = root_l / (1.0 - (t_l / root_l) * ft_l / fc_l)
+            # free Newton polish: the tangent launch already evaluated
+            # (F, F_c) at the Illinois root, so one clamped Newton step
+            # costs nothing and buys ~2 Illinois iterations of accuracy
+            root_l = jnp.clip(root_l - f0_l / fc_l, lo_l, hi_l)
+        else:
+            u_l = jnp.zeros_like(root_l)
 
     # root <= b_halfspace (calcul.f:191): b_hs for the frozen truncation
     # is layer mm-1's attenuated+flattened shear velocity — a pure XLA
@@ -644,23 +687,6 @@ def _surf_forward_batch_fast(h, vp, vs, rho, qsinv, periods, nlay,
     bhs_l = (gat(model_T[1]) * (1.0 + gat(model_T[3]) * lnt_l)
              * gat(model_T[5]))
     ok_l = ok_l & (root_l <= bhs_l)
-
-    # ---- phase 3: group velocity, u = c / (1 - (T/c) F_T/F_c) --------
-    # Exact forward-mode tangents *inside* the fused kernel
-    # (secular_lanes_grad): one launch for all lanes, primal residuals
-    # reused by both tangents.  Finite differences through the kernel
-    # fail at shallow roots where the renormalised f32 secular value
-    # sits at the noise floor — e.g. short-period ocean models.
-    if cfg.compute_group:
-        from pysurfinv_tpu.ops.pallas_secular import secular_lanes_grad
-
-        _, fc_l, ft_l = secular_lanes_grad(
-            root_l, t_l, mm_l, *model_T, nlay, wave=wave,
-            t_base=cfg.t_base, atten=cfg.atten, interpret=interpret)
-        fc_l = jnp.where(jnp.abs(fc_l) > 0, fc_l, 1.0)
-        u_l = root_l / (1.0 - (t_l / root_l) * ft_l / fc_l)
-    else:
-        u_l = jnp.zeros_like(root_l)
 
     c_out = jnp.where(ok_l, root_l, 0.0)
     u_out = jnp.where(ok_l, u_l, 0.0)

@@ -46,6 +46,31 @@ ACCUR = 1e-8  # regime-switch tolerance, surfa.f:191-192
 
 LANE = 128  # model-axis block width (TPU lane count)
 
+# Layer-loop unroll inside the kernels.  Measured on v5e (L = 96,
+# B = 4096, inside one jit): FULL unroll of the plain secular body is
+# ~2x faster per evaluation than unroll=1 — the carry stays in
+# registers.  The cost is VMEM *stack*: Mosaic allocates every unrolled
+# iteration's temporaries without cross-iteration reuse, and while the
+# plain body fits, the linearize-based gradient body wants ~37 MB
+# against the 16 MB scoped limit — so gradient kernels run their layer
+# loop at unroll=1 (one extra launch at ~2x/layer cost is still cheap:
+# it happens once per solve).  0 = full; override per measurement.
+import os as _os
+UNROLL_LAYERS = int(_os.environ.get("PYSURFINV_PALLAS_UNROLL", "0"))
+GRAD_UNROLL = int(_os.environ.get("PYSURFINV_PALLAS_GRAD_UNROLL", "1"))
+
+
+def _layer_unroll(L, interpret):
+    if interpret or UNROLL_LAYERS == 1:
+        return 1
+    return L - 1 if UNROLL_LAYERS == 0 else UNROLL_LAYERS
+
+
+def _grad_unroll(L, interpret):
+    if interpret or GRAD_UNROLL == 1:
+        return 1
+    return L - 1 if GRAD_UNROLL == 0 else GRAD_UNROLL
+
 
 # Mosaic's fori_loop lowering supports only unroll=1 or full unroll; on
 # TPU we fully unroll the layer recursion (registers stay live across
@@ -494,6 +519,178 @@ def _love_kernel(fact, t_base, atten, L, unroll,
     mm_out[:] = mm.astype(jnp.int32)
 
 
+def _make_layer_model(vp_ref, vs_ref, rho_ref, qsi_ref, hf_ref, vf_ref,
+                      rf_ref, lnt, atten):
+    """Attenuated + flattened (a, b, rho, d) row accessor (material fixed
+    at the period behind ``lnt`` — the fixed-material group convention)."""
+    def layer_model(l):
+        vp_l = vp_ref[l][None, :]
+        vs_l = vs_ref[l][None, :]
+        rho_l = rho_ref[l][None, :]
+        qsi_l = qsi_ref[l][None, :]
+        hf_l = hf_ref[l][None, :]
+        vf_l = vf_ref[l][None, :]
+        rf_l = rf_ref[l][None, :]
+        if atten:
+            qsq = qsi_l * lnt
+            vp_s = jnp.where(jnp.abs(vp_l) > 0, vp_l, 1.0)
+            qpq = qsq * 1.33333333 * (vs_l / vp_s) ** 2
+            a_l = vp_l * (1.0 + qpq) * vf_l
+            b_l = vs_l * (1.0 + qsq) * vf_l
+        else:
+            a_l = vp_l * vf_l
+            b_l = vs_l * vf_l
+        return a_l, b_l, rho_l * rf_l, hf_l
+
+    return layer_model
+
+
+def _capture_halfspace(layer_model, mmf, shape, L, unroll):
+    """(a, b, rho) of each lane's frozen closure layer ``mmf - 1``."""
+    a_last, b_last, rho_last, _ = layer_model(L - 1)
+
+    def cap_body(l, carry):
+        a_h, b_h, rho_h = carry
+        a_l, b_l, rho_l, _ = layer_model(l)
+        capture = l == mmf - 1
+        return (jnp.where(capture, a_l, a_h),
+                jnp.where(capture, b_l, b_h),
+                jnp.where(capture, rho_l, rho_h))
+
+    bc = lambda x: jnp.broadcast_to(x, shape)  # noqa: E731
+    return jax.lax.fori_loop(
+        0, L - 1, cap_body, (bc(a_last), bc(b_last), bc(rho_last)),
+        unroll=unroll)
+
+
+def _ray_secular_tile(cv, t, mmf, layer_model, a_h, b_h, rho_h, L, unroll):
+    """Secular value at frozen mm for one lane tile (plain, no tangents)."""
+    one = jnp.ones_like(cv)
+    zero = jnp.zeros_like(cv)
+
+    def body(l, carry):
+        a_l, b_l, rho_l, d_l = layer_model(l)
+        apply = l < (mmf - 1)
+        nb = _ray_prop(cv, t, *carry, a_l, b_l, rho_l, d_l)
+        nb = [jnp.where(apply, p, o) for p, o in zip(nb, carry)]
+        scale = nb[0]
+        for x in nb[1:]:
+            scale = jnp.maximum(jnp.abs(scale), jnp.abs(x))
+        inv = 1.0 / jnp.where(jnp.abs(scale) > 0.0, jnp.abs(scale), 1.0)
+        return tuple(x * inv for x in nb)
+
+    b = jax.lax.fori_loop(0, L - 1, body, (one, zero, zero, zero, zero),
+                          unroll=unroll)
+    return _ray_closure(cv, *b, a_h, b_h, rho_h)
+
+
+def _ray_secular_grad_tile(cv, t, mmf, layer_model, a_h, b_h, rho_h, L,
+                           unroll):
+    """(F, dF/dc, dF/dT) at frozen mm — per-layer ``jax.linearize``
+    with the tangents riding the loop carry (renorm factor an AD
+    constant, like ``ops.secular``'s stop_gradient)."""
+    one = jnp.ones_like(cv)
+    zero = jnp.zeros_like(cv)
+
+    def body(l, carry):
+        b = carry[0:5]
+        dc = carry[5:10]
+        dt = carry[10:15]
+        a_l, b_l, rho_l, d_l = layer_model(l)
+        apply = l < (mmf - 1)
+
+        def prop(x, tv, *bv):
+            return _ray_prop(x, tv, *bv, a_l, b_l, rho_l, d_l)
+
+        primal, lin = jax.linearize(prop, cv, t, *b)
+        dcs = lin(one, zero, *dc)
+        dts = lin(zero, one, *dt)
+        nb = [jnp.where(apply, p, o) for p, o in zip(primal, b)]
+        ndc = [jnp.where(apply, p, o) for p, o in zip(dcs, dc)]
+        ndt = [jnp.where(apply, p, o) for p, o in zip(dts, dt)]
+        scale = nb[0]
+        for x in nb[1:]:
+            scale = jnp.maximum(jnp.abs(scale), jnp.abs(x))
+        scale = jnp.abs(scale)
+        inv = 1.0 / jnp.where(scale > 0.0, scale, 1.0)
+        return tuple(x * inv for x in nb + ndc + ndt)
+
+    carry = (one, zero, zero, zero, zero) + (zero,) * 10
+    carry = jax.lax.fori_loop(0, L - 1, body, carry, unroll=unroll)
+
+    def clos(x, *bv):
+        return _ray_closure(x, *bv, a_h, b_h, rho_h)
+
+    F, lin = jax.linearize(clos, cv, *carry[0:5])
+    return F, lin(one, *carry[5:10]), lin(zero, *carry[10:15])
+
+
+def _love_secular_tile(cv, t, mmf, layer_model, b_h, rho_h, L, unroll):
+    """Love secular value at frozen mm for one lane tile."""
+    ut, tt = _love_init(cv, b_h, rho_h)
+    scale0 = jnp.maximum(jnp.abs(ut), jnp.abs(tt))
+    inv0 = 1.0 / jnp.where(scale0 > 0, scale0, 1.0)
+    ut, tt = ut * inv0, tt * inv0
+
+    def body(i, carry):
+        ut, tt = carry
+        l = L - 2 - i
+        _, b_l, rho_l, d_l = layer_model(l)
+        water = jnp.abs(b_l) <= ACCUR
+        apply = (l <= mmf - 2) & ~water
+        pu, ps = _love_prop(cv, t, ut, tt, b_l, rho_l, d_l)
+        nut = jnp.where(apply, pu, ut)
+        ntt = jnp.where(apply, ps, tt)
+        scale = jnp.maximum(jnp.abs(nut), jnp.abs(ntt))
+        inv = 1.0 / jnp.where(scale > 0, scale, 1.0)
+        return nut * inv, ntt * inv
+
+    ut, tt = jax.lax.fori_loop(0, L - 1, body, (ut, tt), unroll=unroll)
+    return -tt
+
+
+def _love_secular_grad_tile(cv, t, mmf, layer_model, b_h, rho_h, L,
+                            unroll):
+    """(F, dF/dc, dF/dT) Love analogue of :func:`_ray_secular_grad_tile`."""
+    one = jnp.ones_like(cv)
+    zero = jnp.zeros_like(cv)
+
+    (ut, tt), lin0 = jax.linearize(lambda x: _love_init(x, b_h, rho_h), cv)
+    utc, ttc = lin0(one)
+    utt, ttt = zero, zero
+    scale0 = jnp.maximum(jnp.abs(ut), jnp.abs(tt))
+    inv0 = 1.0 / jnp.where(scale0 > 0, scale0, 1.0)
+    ut, tt, utc, ttc = ut * inv0, tt * inv0, utc * inv0, ttc * inv0
+
+    def body(i, carry):
+        ut, tt, utc, ttc, utt, ttt = carry
+        l = L - 2 - i
+        _, b_l, rho_l, d_l = layer_model(l)
+        water = jnp.abs(b_l) <= ACCUR
+        apply = (l <= mmf - 2) & ~water
+
+        def prop(x, tv, u, s):
+            return _love_prop(x, tv, u, s, b_l, rho_l, d_l)
+
+        (pu, ps), lin = jax.linearize(prop, cv, t, ut, tt)
+        duc, dsc = lin(one, zero, utc, ttc)
+        dut, dst = lin(zero, one, utt, ttt)
+        nut = jnp.where(apply, pu, ut)
+        ntt = jnp.where(apply, ps, tt)
+        nutc = jnp.where(apply, duc, utc)
+        nttc = jnp.where(apply, dsc, ttc)
+        nutt = jnp.where(apply, dut, utt)
+        nttt = jnp.where(apply, dst, ttt)
+        scale = jnp.maximum(jnp.abs(nut), jnp.abs(ntt))
+        inv = 1.0 / jnp.where(scale > 0, scale, 1.0)
+        return (nut * inv, ntt * inv, nutc * inv, nttc * inv,
+                nutt * inv, nttt * inv)
+
+    ut, tt, utc, ttc, utt, ttt = jax.lax.fori_loop(
+        0, L - 1, body, (ut, tt, utc, ttc, utt, ttt), unroll=unroll)
+    return -tt, -ttc, -ttt
+
+
 def _rayleigh_grad_kernel(t_base, atten, L, unroll,
                           vp_ref, vs_ref, rho_ref, qsi_ref,
                           hf_ref, vf_ref, rf_ref, nlay_ref,
@@ -516,81 +713,15 @@ def _rayleigh_grad_kernel(t_base, atten, L, unroll,
     tm = tm_ref[:]
     mmf = mmf_ref[:]                  # int32, always >= 2 here
     lnt = jnp.log(t_base / tm) / jnp.pi if atten else None
-    one = jnp.ones_like(c)
-    zero = jnp.zeros_like(c)
-
-    def layer_model(l):
-        vp_l = vp_ref[l][None, :]
-        vs_l = vs_ref[l][None, :]
-        rho_l = rho_ref[l][None, :]
-        qsi_l = qsi_ref[l][None, :]
-        hf_l = hf_ref[l][None, :]
-        vf_l = vf_ref[l][None, :]
-        rf_l = rf_ref[l][None, :]
-        if atten:
-            qsq = qsi_l * lnt
-            vp_s = jnp.where(jnp.abs(vp_l) > 0, vp_l, 1.0)
-            qpq = qsq * 1.33333333 * (vs_l / vp_s) ** 2
-            a_l = vp_l * (1.0 + qpq) * vf_l
-            b_l = vs_l * (1.0 + qsq) * vf_l
-        else:
-            a_l = vp_l * vf_l
-            b_l = vs_l * vf_l
-        return a_l, b_l, rho_l * rf_l, hf_l
-
-    a_last, b_last, rho_last, _ = layer_model(L - 1)
-
-    def body(l, carry):
-        (b1, b2, b3, b4, b5,
-         c1, c2, c3, c4, c5,      # d/dc tangents
-         t1, t2, t3, t4, t5,      # d/dT tangents
-         a_h, b_h, rho_h) = carry
-        a_l, b_l, rho_l, d_l = layer_model(l)
-        capture = l == mmf - 1
-        a_h = jnp.where(capture, a_l, a_h)
-        b_h = jnp.where(capture, b_l, b_h)
-        rho_h = jnp.where(capture, rho_l, rho_h)
-        apply = l < (mmf - 1)
-
-        def prop(cv, tv, x1, x2, x3, x4, x5):
-            return _ray_prop(cv, tv, x1, x2, x3, x4, x5,
-                             a_l, b_l, rho_l, d_l)
-
-        primal, lin = jax.linearize(prop, c, t, b1, b2, b3, b4, b5)
-        dcs = lin(one, zero, c1, c2, c3, c4, c5)
-        dts = lin(zero, one, t1, t2, t3, t4, t5)
-
-        nb = [jnp.where(apply, p, o)
-              for p, o in zip(primal, (b1, b2, b3, b4, b5))]
-        ndc = [jnp.where(apply, p, o)
-               for p, o in zip(dcs, (c1, c2, c3, c4, c5))]
-        ndt = [jnp.where(apply, p, o)
-               for p, o in zip(dts, (t1, t2, t3, t4, t5))]
-        scale = nb[0]
-        for x in nb[1:]:
-            scale = jnp.maximum(jnp.abs(scale), jnp.abs(x))
-        scale = jnp.abs(scale)
-        inv = 1.0 / jnp.where(scale > 0.0, scale, 1.0)
-        out = [x * inv for x in nb + ndc + ndt]
-        return tuple(out) + (a_h, b_h, rho_h)
-
-    bcast = lambda x: jnp.broadcast_to(x, c.shape)  # noqa: E731
-    carry = ((one, zero, zero, zero, zero)
-             + (zero,) * 10
-             + (bcast(a_last), bcast(b_last), bcast(rho_last)))
-    carry = jax.lax.fori_loop(0, L - 1, body, carry, unroll=unroll)
-    b = carry[0:5]
-    dc = carry[5:10]
-    dt = carry[10:15]
-    a_h, b_h, rho_h = carry[15:18]
-
-    def clos(cv, x1, x2, x3, x4, x5):
-        return _ray_closure(cv, x1, x2, x3, x4, x5, a_h, b_h, rho_h)
-
-    F, lin = jax.linearize(clos, c, *b)
+    layer_model = _make_layer_model(vp_ref, vs_ref, rho_ref, qsi_ref,
+                                    hf_ref, vf_ref, rf_ref, lnt, atten)
+    a_h, b_h, rho_h = _capture_halfspace(layer_model, mmf, c.shape, L,
+                                         unroll)
+    F, Fc, Ft = _ray_secular_grad_tile(c, t, mmf, layer_model, a_h, b_h,
+                                       rho_h, L, unroll)
     f_out[:] = F
-    fc_out[:] = lin(one, *dc)
-    ft_out[:] = lin(zero, *dt)
+    fc_out[:] = Fc
+    ft_out[:] = Ft
 
 
 def _love_grad_kernel(t_base, atten, L, unroll,
@@ -604,71 +735,15 @@ def _love_grad_kernel(t_base, atten, L, unroll,
     tm = tm_ref[:]
     mmf = mmf_ref[:]
     lnt = jnp.log(t_base / tm) / jnp.pi if atten else None
-    one = jnp.ones_like(c)
-    zero = jnp.zeros_like(c)
-
-    def layer_model(l):
-        vs_l = vs_ref[l][None, :]
-        rho_l = rho_ref[l][None, :]
-        qsi_l = qsi_ref[l][None, :]
-        hf_l = hf_ref[l][None, :]
-        vf_l = vf_ref[l][None, :]
-        rf_l = rf_ref[l][None, :]
-        b_l = (vs_l * (1.0 + qsi_l * lnt) if atten else vs_l) * vf_l
-        return b_l, rho_l * rf_l, hf_l
-
-    # halfspace row at the frozen mm
-    b_last, rho_last, _ = layer_model(L - 1)
-
-    def cap_body(l, carry):
-        b_h, rho_h = carry
-        b_l, rho_l, _ = layer_model(l)
-        capture = l == mmf - 1
-        return (jnp.where(capture, b_l, b_h),
-                jnp.where(capture, rho_l, rho_h))
-
-    b_h, rho_h = jax.lax.fori_loop(
-        0, L - 1, cap_body,
-        (jnp.broadcast_to(b_last, c.shape),
-         jnp.broadcast_to(rho_last, c.shape)), unroll=unroll)
-
-    (ut, tt), lin0 = jax.linearize(
-        lambda cv: _love_init(cv, b_h, rho_h), c)
-    utc, ttc = lin0(one)
-    utt, ttt = zero, zero
-    scale0 = jnp.maximum(jnp.abs(ut), jnp.abs(tt))
-    inv0 = 1.0 / jnp.where(scale0 > 0, scale0, 1.0)
-    ut, tt, utc, ttc = ut * inv0, tt * inv0, utc * inv0, ttc * inv0
-
-    def body(i, carry):
-        ut, tt, utc, ttc, utt, ttt = carry
-        l = L - 2 - i
-        b_l, rho_l, d_l = layer_model(l)
-        water = jnp.abs(b_l) <= ACCUR
-        apply = (l <= mmf - 2) & ~water
-
-        def prop(cv, tv, u, s):
-            return _love_prop(cv, tv, u, s, b_l, rho_l, d_l)
-
-        (pu, ps), lin = jax.linearize(prop, c, t, ut, tt)
-        duc, dsc = lin(one, zero, utc, ttc)
-        dut, dst = lin(zero, one, utt, ttt)
-        nut = jnp.where(apply, pu, ut)
-        ntt = jnp.where(apply, ps, tt)
-        nutc = jnp.where(apply, duc, utc)
-        nttc = jnp.where(apply, dsc, ttc)
-        nutt = jnp.where(apply, dut, utt)
-        nttt = jnp.where(apply, dst, ttt)
-        scale = jnp.maximum(jnp.abs(nut), jnp.abs(ntt))
-        inv = 1.0 / jnp.where(scale > 0, scale, 1.0)
-        return (nut * inv, ntt * inv, nutc * inv, nttc * inv,
-                nutt * inv, nttt * inv)
-
-    ut, tt, utc, ttc, utt, ttt = jax.lax.fori_loop(
-        0, L - 1, body, (ut, tt, utc, ttc, utt, ttt), unroll=unroll)
-    f_out[:] = -tt
-    fc_out[:] = -ttc
-    ft_out[:] = -ttt
+    layer_model = _make_layer_model(vp_ref, vs_ref, rho_ref, qsi_ref,
+                                    hf_ref, vf_ref, rf_ref, lnt, atten)
+    _, b_h, rho_h = _capture_halfspace(layer_model, mmf, c.shape, L,
+                                       unroll)
+    F, Fc, Ft = _love_secular_grad_tile(c, t, mmf, layer_model, b_h,
+                                        rho_h, L, unroll)
+    f_out[:] = F
+    fc_out[:] = Fc
+    ft_out[:] = Ft
 
 
 @partial(jax.jit, static_argnames=("wave", "t_base", "atten", "interpret"))
@@ -700,7 +775,7 @@ def secular_lanes_grad(c, t, mm_frozen, vp, vs, rho, qsi, h_flat, vel_fac,
 
     kern = _rayleigh_grad_kernel if wave in ("rayleigh", "ray", "R") \
         else _love_grad_kernel
-    body = partial(kern, t_base, atten, L, 1 if interpret else L - 1)
+    body = partial(kern, t_base, atten, L, _grad_unroll(L, interpret))
 
     grid = (Kp // Kb, Bp // LANE)
     mspec = pl.BlockSpec((L, LANE), lambda i, j: (0, j),
@@ -774,7 +849,7 @@ def secular_lanes(c, t, mm_frozen, vp, vs, rho, qsi, h_flat, vel_fac,
     kern = _rayleigh_kernel if wave in ("rayleigh", "ray", "R") \
         else _love_kernel
     body = partial(kern, fact, t_base, atten, L,
-                   1 if interpret else L - 1)
+                   _layer_unroll(L, interpret))
 
     grid = (Kp // Kb, Bp // LANE)
     mspec = pl.BlockSpec((L, LANE), lambda i, j: (0, j),
@@ -797,3 +872,172 @@ def secular_lanes(c, t, mm_frozen, vp, vs, rho, qsi, h_flat, vel_fac,
         interpret=interpret,
     )(*model, nlay2, c, t, tm, mmf)
     return f[:K, :B], bhs[:K, :B], mm[:K, :B]
+
+
+def _refine_kernel(wave, t_base, atten, L, unroll, n_ill, n_newton,
+                   compute_group,
+                   vp_ref, vs_ref, rho_ref, qsi_ref,
+                   hf_ref, vf_ref, rf_ref, nlay_ref,
+                   lo_ref, hi_ref, t_ref, mmf_ref,
+                   root_out, u_out):
+    """Bracket -> root -> group velocity, one launch per lane block.
+
+    Replaces the ``nbisect`` separate Illinois kernel launches of the
+    batched solver (plus the tangent launch behind group velocity) with
+    a single fused pass:
+
+      1. ``n_ill + 2`` Illinois (regula falsi) iterations — the first
+         two evaluate the bracket endpoints — shrink [lo, hi];
+      2. ``n_newton`` bracket-clamped Newton iterations using the
+         in-kernel forward-mode tangent (quadratic tail convergence;
+         each costs ~2.5 plain evaluations but replaces ~4);
+      3. the last Newton iteration's (F_c, F_T) give the group velocity
+         u = c / (1 - (T/c) F_T/F_c) for free — the implicit-diff
+         replacement of the reference's eigenfunction energy integrals
+         (surfa.f LEIGEN/REIGEN).
+
+    The model strip loads into VMEM once for the entire refinement; the
+    truncation is frozen per lane (``mmf``, NEVILL convention).
+    """
+    lo = lo_ref[:]
+    hi = hi_ref[:]
+    t = t_ref[:]
+    mmf = mmf_ref[:]
+    lnt = jnp.log(t_base / t) / jnp.pi if atten else None
+    layer_model = _make_layer_model(vp_ref, vs_ref, rho_ref, qsi_ref,
+                                    hf_ref, vf_ref, rf_ref, lnt, atten)
+    a_h, b_h, rho_h = _capture_halfspace(layer_model, mmf, lo.shape, L,
+                                         unroll)
+    rayleigh = wave in ("rayleigh", "ray", "R")
+    if rayleigh:
+        F_of = lambda x: _ray_secular_tile(  # noqa: E731
+            x, t, mmf, layer_model, a_h, b_h, rho_h, L, unroll)
+        Fg_of = lambda x: _ray_secular_grad_tile(  # noqa: E731
+            x, t, mmf, layer_model, a_h, b_h, rho_h, L, unroll)
+    else:
+        F_of = lambda x: _love_secular_tile(  # noqa: E731
+            x, t, mmf, layer_model, b_h, rho_h, L, unroll)
+        Fg_of = lambda x: _love_secular_grad_tile(  # noqa: E731
+            x, t, mmf, layer_model, b_h, rho_h, L, unroll)
+
+    sgn = lambda x: jnp.where(x >= 0, 1.0, -1.0)  # noqa: E731
+    zero = jnp.zeros_like(lo)
+
+    # ---- phase A: Illinois; iterations 0/1 evaluate the endpoints ----
+    def ill_step(j, st):
+        lo, hi, flo, fhi, side = st
+        denom = fhi - flo
+        denom = jnp.where(jnp.abs(denom) > 0, denom, 1.0)
+        x_int = (lo * fhi - hi * flo) / denom
+        bad = ~((x_int > lo) & (x_int < hi))
+        x_reg = jnp.where(bad, 0.5 * (lo + hi), x_int)
+        is0 = j == 0
+        is1 = j == 1
+        x = jnp.where(is0, lo, jnp.where(is1, hi, x_reg))
+        fx = F_of(x)
+        same_lo = sgn(fx) == sgn(flo)
+        nlo = jnp.where(same_lo, x, lo)
+        nflo = jnp.where(same_lo, fx, flo)
+        nhi = jnp.where(same_lo, hi, x)
+        nfhi = jnp.where(same_lo, fhi, fx)
+        nfhi = jnp.where(same_lo & (side == -1), 0.5 * nfhi, nfhi)
+        nflo = jnp.where(~same_lo & (side == 1), 0.5 * nflo, nflo)
+        nside = jnp.where(same_lo, -1.0, 1.0)
+        # endpoint-evaluation phases leave the bracket untouched
+        ep = is0 | is1
+        nlo = jnp.where(ep, lo, nlo)
+        nhi = jnp.where(ep, hi, nhi)
+        nflo = jnp.where(is0, fx, jnp.where(is1, flo, nflo))
+        nfhi = jnp.where(is1, fx, jnp.where(is0, fhi, nfhi))
+        nside = jnp.where(ep, zero, nside)
+        return nlo, nhi, nflo, nfhi, nside
+
+    lo, hi, flo, fhi, _ = jax.lax.fori_loop(
+        0, n_ill + 2, ill_step, (lo, hi, zero, zero, zero))
+    denom = fhi - flo
+    denom = jnp.where(jnp.abs(denom) > 0, denom, 1.0)
+    x = jnp.clip((lo * fhi - hi * flo) / denom, lo, hi)
+    slo = sgn(flo)
+
+    # ---- phase B: bracket-clamped Newton with in-kernel tangents -----
+    # The LAST iteration is evaluation-only: near the root the f32
+    # secular value sits at its noise floor, so a final Newton step
+    # would jitter x by |F_noise / F_c| inside whatever bracket
+    # remains; instead it just reads the tangents at the polished x
+    # for the group velocity.
+    def newt_step(j, st):
+        x, lo, hi, u = st
+        F, Fc, Ft = Fg_of(x)
+        same_lo = sgn(F) == slo
+        nlo = jnp.where(same_lo, x, lo)
+        nhi = jnp.where(same_lo, hi, x)
+        fc_safe = jnp.where(jnp.abs(Fc) > 0, Fc, 1.0)
+        xn = x - F / fc_safe
+        bad = ~((xn > nlo) & (xn < nhi))
+        xn = jnp.where(bad, 0.5 * (nlo + nhi), xn)
+        xn = jnp.where(j < n_newton - 1, xn, x)
+        if compute_group:
+            ratio = Ft / fc_safe
+            u = x / (1.0 - (t / x) * ratio)
+        return xn, nlo, nhi, u
+
+    x, lo, hi, u = jax.lax.fori_loop(0, n_newton, newt_step,
+                                     (x, lo, hi, zero))
+    root_out[:] = x
+    u_out[:] = u
+
+
+@partial(jax.jit, static_argnames=("wave", "t_base", "atten", "n_ill",
+                                   "n_newton", "compute_group",
+                                   "interpret"))
+def refine_lanes(lo, hi, t, mm_frozen, vp, vs, rho, qsi, h_flat, vel_fac,
+                 rho_fac, nlay, wave: str = "rayleigh",
+                 t_base: float = 1.0, atten: bool = True, n_ill: int = 6,
+                 n_newton: int = 2, compute_group: bool = True,
+                 interpret: bool = False):
+    """Refine (K, B) brackets to roots + group velocities, one kernel.
+
+    Args mirror :func:`secular_lanes`; ``lo``/``hi`` bound each lane's
+    root (a sign change inside is the caller's contract — lanes without
+    one converge somewhere inside the cell and are masked by the
+    caller's ``ok``).  Returns ``(root, u)``; ``u`` is zeros when
+    ``compute_group`` is False or ``n_newton`` == 0.
+    """
+    K, B = lo.shape
+    L = vp.shape[0]
+    Bp = -(-B // LANE) * LANE
+    Kb = 8
+    Kp = -(-K // Kb) * Kb
+
+    lo = _pad_to(_pad_to(lo, Kp, 0, 1.0), Bp, 1, 1.0)
+    hi = _pad_to(_pad_to(hi, Kp, 0, 1.1), Bp, 1, 1.1)
+    t = _pad_to(_pad_to(t, Kp, 0, 1.0), Bp, 1, 1.0)
+    mmf = _pad_to(_pad_to(mm_frozen, Kp, 0, 2), Bp, 1, 2)
+    model = [_pad_to(x, Bp, 1, 1.0)
+             for x in (vp, vs, rho, qsi, h_flat, vel_fac, rho_fac)]
+    nlay2 = _pad_to(nlay.astype(jnp.int32)[None, :], Bp, 1, 2)
+
+    body = partial(_refine_kernel, wave, t_base, atten, L,
+                   _grad_unroll(L, interpret), n_ill, n_newton,
+                   compute_group)
+
+    grid = (Kp // Kb, Bp // LANE)
+    mspec = pl.BlockSpec((L, LANE), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM)
+    lspec = pl.BlockSpec((Kb, LANE), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM)
+    nspec = pl.BlockSpec((1, LANE), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM)
+
+    root, u = pl.pallas_call(
+        body,
+        grid=grid,
+        in_specs=[mspec] * 7 + [nspec, lspec, lspec, lspec, lspec],
+        out_specs=(lspec, lspec),
+        out_shape=(
+            jax.ShapeDtypeStruct((Kp, Bp), lo.dtype),
+            jax.ShapeDtypeStruct((Kp, Bp), lo.dtype),
+        ),
+        interpret=interpret,
+    )(*model, nlay2, lo, hi, t, mmf)
+    return root[:K, :B], u[:K, :B]

@@ -169,16 +169,20 @@ def test_grad_kernel_matches_xla_jvp(batch, wave):
             assert abs(ratio_p - ratio_x) <= 2e-3 * max(abs(ratio_x), 1e-6)
 
 
-def test_batch_fast_path_matches_vmap(batch):
+@pytest.mark.parametrize("nnewton", [0, 2])
+def test_batch_fast_path_matches_vmap(batch, nnewton):
     """End-to-end: the Pallas batched solver (interpret) == vmapped XLA.
 
     Run in float32 on both sides; phase roots agree to the Illinois
-    tolerance and validity masks agree exactly.
+    tolerance and validity masks agree exactly.  nnewton=0 exercises
+    the separate Illinois + tangent launches (the shipped default);
+    nnewton=2 exercises the fused refine_lanes kernel.
     """
     h, vp, vs, rho, qsi, nlay = batch
     periods = jnp.asarray(np.array([10.0, 20.0, 40.0, 80.0], np.float32))
     cfg_x = SurfConfig(nmodes=1, backend="xla")
-    cfg_p = SurfConfig(nmodes=1, backend="pallas_interpret")
+    cfg_p = SurfConfig(nmodes=1, backend="pallas_interpret",
+                       nnewton=nnewton)
     args = tuple(map(jnp.asarray, (h, vp, vs, rho, qsi)))
     cx, ux, okx = surf_forward_batch(*args, periods, jnp.asarray(nlay),
                                      wave="rayleigh", cfg=cfg_x)
