@@ -4,7 +4,7 @@
 Headline metric from BASELINE.json: >= 1e5 dispersion forward solves/sec/
 chip (the reference's f2py fast_surf manages O(10^2-10^3)/s/core).  One
 "solve" = a full fundamental-mode Rayleigh phase+group dispersion curve
-(18 periods, Cascadia-ocean-like ~56-layer model, attenuation + earth-
+(18 periods, Cascadia-ocean-like 86-layer model, attenuation + earth-
 flattening + per-period root search), i.e. exactly one reference
 ``fast_surf`` call (models.py:27).
 
@@ -26,7 +26,8 @@ BASELINE_SOLVES_PER_SEC = 1e5  # driver north-star target
 
 
 def build_batch(B, rng):
-    """B perturbed Cascadia-ocean-like layered models, padded to L=64."""
+    """B perturbed Cascadia-ocean-like layered models (86 real layers,
+    padded up to a sublane multiple)."""
     from pysurfinv_tpu.models.model1d import buildModel1D
 
     yml = {
@@ -86,22 +87,16 @@ def main():
     QSI = jnp.asarray(batch[:, 4])
     NL = jnp.full((B,), nlay, dtype=jnp.int32)
 
-    # nbisect=13: from the 2*dc warm bracket, Illinois converges to the
-    # f32 root noise floor (~1e-4; verified max|dc| unchanged vs
-    # nbisect=40 on this workload).  nscan=24 at coarse=2 with
-    # warm_backoff=6 covers c(T) steps up to 0.18 km/s between adjacent
-    # periods — 3x the largest step of the shipped model families —
-    # validated ok=1.000 + root parity vs the nscan=64 wide window.
-    # nbisect=12 Illinois from the 2*dc warm bracket converges to the
-    # f32 root noise floor (validated vs nbisect=40); nscan=16 at
-    # coarse=2 with warm_backoff=4 covers c(T) steps up to 0.24 km/s
+    # nbisect=11 Illinois from the 2*dc warm bracket converges to the
+    # f32 root noise floor (validated vs nbisect=40); nscan=12 at
+    # coarse=2 with warm_backoff=4 covers c(T) steps up to 0.16 km/s
     # between adjacent periods — ~4x the largest step of the shipped
     # model families (validated ok=1.000 + root parity vs nscan=64).
     cfg = SurfConfig(
         nmodes=1,
         nscan_first=int(os.environ.get("BENCH_NSCAN_FIRST", 512)),
-        nscan=int(os.environ.get("BENCH_NSCAN", 16)),
-        nbisect=int(os.environ.get("BENCH_NBISECT", 12)),
+        nscan=int(os.environ.get("BENCH_NSCAN", 12)),
+        nbisect=int(os.environ.get("BENCH_NBISECT", 11)),
         nnewton=int(os.environ.get("BENCH_NNEWTON", 0)),
         warm_backoff=int(os.environ.get("BENCH_BACKOFF", 4)),
         coarse_first=int(os.environ.get("BENCH_COARSE_FIRST", 8)),

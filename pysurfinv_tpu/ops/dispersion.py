@@ -548,8 +548,20 @@ def _surf_forward_batch_fast(h, vp, vs, rho, qsinv, periods, nlay,
         return c_lo, found, mm_up
 
     def illinois_lanes(t_kb, lo, hi, mm_kb, n_iter):
-        """`_illinois` driven by the Pallas evaluator on (K, B) lanes."""
-        return _illinois(lambda cc: Fv(cc, t_kb, mm_kb)[0], lo, hi, n_iter)
+        """`_illinois` on (K, B) lanes via the frozen-truncation kernel.
+
+        Refinement always runs inside a bracket with the closure layer
+        pinned, so the dynamic truncation walk of ``secular_lanes`` is
+        dead weight here — the frozen kernel skips it.
+        """
+        from pysurfinv_tpu.ops.pallas_secular import secular_lanes_frozen
+
+        def Ff(cc):
+            return secular_lanes_frozen(
+                cc, t_kb, mm_kb, *model_T, nlay, wave=wave,
+                t_base=cfg.t_base, atten=cfg.atten, interpret=interpret)
+
+        return _illinois(Ff, lo, hi, n_iter)
 
     nmodes = cfg.nmodes
     # periods: (P,) shared or (B, P) per model; handled as (B, P)

@@ -1041,3 +1041,76 @@ def refine_lanes(lo, hi, t, mm_frozen, vp, vs, rho, qsi, h_flat, vel_fac,
         interpret=interpret,
     )(*model, nlay2, lo, hi, t, mmf)
     return root[:K, :B], u[:K, :B]
+
+
+def _frozen_kernel(wave, t_base, atten, L, unroll,
+                   vp_ref, vs_ref, rho_ref, qsi_ref,
+                   hf_ref, vf_ref, rf_ref, nlay_ref,
+                   c_ref, t_ref, mmf_ref, f_out):
+    """Plain secular evaluation at a *frozen* truncation (no tangents).
+
+    The refinement phase always evaluates inside a bracket whose
+    closure layer is pinned (NEVILL convention), so the dynamic
+    truncation walk of the main kernel — the running evanescent sum,
+    close/pending bookkeeping — is dead weight there.  This kernel
+    captures the halfspace row once and runs the bare recursion.
+    """
+    c = c_ref[:]
+    t = t_ref[:]
+    mmf = mmf_ref[:]
+    lnt = jnp.log(t_base / t) / jnp.pi if atten else None
+    layer_model = _make_layer_model(vp_ref, vs_ref, rho_ref, qsi_ref,
+                                    hf_ref, vf_ref, rf_ref, lnt, atten)
+    a_h, b_h, rho_h = _capture_halfspace(layer_model, mmf, c.shape, L,
+                                         unroll)
+    if wave in ("rayleigh", "ray", "R"):
+        f_out[:] = _ray_secular_tile(c, t, mmf, layer_model, a_h, b_h,
+                                     rho_h, L, unroll)
+    else:
+        f_out[:] = _love_secular_tile(c, t, mmf, layer_model, b_h,
+                                      rho_h, L, unroll)
+
+
+@partial(jax.jit, static_argnames=("wave", "t_base", "atten", "interpret"))
+def secular_lanes_frozen(c, t, mm_frozen, vp, vs, rho, qsi, h_flat,
+                         vel_fac, rho_fac, nlay, wave: str = "rayleigh",
+                         t_base: float = 1.0, atten: bool = True,
+                         interpret: bool = False):
+    """Secular values on a (K, B) lane grid at frozen truncation.
+
+    Same contract as :func:`secular_lanes` with ``mm_frozen >= 2``
+    everywhere, returning only F — the refinement-phase fast path.
+    """
+    K, B = c.shape
+    L = vp.shape[0]
+    Bp = -(-B // LANE) * LANE
+    Kb = 8
+    Kp = -(-K // Kb) * Kb
+
+    c = _pad_to(_pad_to(c, Kp, 0, 1.0), Bp, 1, 1.0)
+    t = _pad_to(_pad_to(t, Kp, 0, 1.0), Bp, 1, 1.0)
+    mmf = _pad_to(_pad_to(mm_frozen, Kp, 0, 2), Bp, 1, 2)
+    model = [_pad_to(x, Bp, 1, 1.0)
+             for x in (vp, vs, rho, qsi, h_flat, vel_fac, rho_fac)]
+    nlay2 = _pad_to(nlay.astype(jnp.int32)[None, :], Bp, 1, 2)
+
+    body = partial(_frozen_kernel, wave, t_base, atten, L,
+                   _layer_unroll(L, interpret))
+
+    grid = (Kp // Kb, Bp // LANE)
+    mspec = pl.BlockSpec((L, LANE), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM)
+    lspec = pl.BlockSpec((Kb, LANE), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM)
+    nspec = pl.BlockSpec((1, LANE), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM)
+
+    f, = pl.pallas_call(
+        body,
+        grid=grid,
+        in_specs=[mspec] * 7 + [nspec, lspec, lspec, lspec],
+        out_specs=(lspec,),
+        out_shape=(jax.ShapeDtypeStruct((Kp, Bp), c.dtype),),
+        interpret=interpret,
+    )(*model, nlay2, c, t, mmf)
+    return f[:K, :B]
