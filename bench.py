@@ -69,6 +69,14 @@ def main():
     import jax.numpy as jnp
     from pysurfinv_tpu.ops.dispersion import SurfConfig, surf_forward_batch
 
+    # persistent compile cache: repeat bench runs skip the multi-minute
+    # first compile of the fused kernels
+    if not jax.config.jax_compilation_cache_dir:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/pysurfinv_jit"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          1.0)
+
     rng = np.random.default_rng(0)
     # 16k models per launch: the ~55 kernel launches per solve carry
     # fixed dispatch cost that amortizes with batch (4k: 80k/s,

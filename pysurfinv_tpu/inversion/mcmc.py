@@ -172,32 +172,23 @@ def make_chain_kernel(isgood, chi_sqr, cfg: ChainConfig):
     return run
 
 
-def make_batched_sampler(isgood, chi_sqr_batch, cfg: ChainConfig):
-    """Time-major sampler: one fused *batched* forward per MCMC step.
+def make_segmented_sampler(isgood, chi_sqr_batch, cfg: ChainConfig):
+    """Init/segment pair behind :func:`make_batched_sampler`.
 
-    ``make_chain_kernel`` nests the time loop inside each vmapped chain,
-    so the dispersion solve runs as vmapped single-model XLA scans.
-    Here the loop order is inverted: every lane (chain, or point x
-    chain) advances one Metropolis step per ``lax.scan`` iteration, and
-    all lanes' forwards evaluate in ONE ``chi_sqr_batch`` call — which
-    routes through ``surf_forward_batch`` and hence the fused Pallas
-    secular kernel on TPU (~7-10x the vmapped XLA path).
+    Splitting the time-major scan into segments enables mid-chain
+    checkpoint/resume and retry-on-device-fault (``parallel.grid``):
+    every step's RNG draws are a pure function of (lane key, global
+    step index), so running the chain as one scan or as any sequence
+    of segments is bitwise identical (asserted by
+    ``tests/test_compiled_mcmc.py``).
 
-    Args:
-      isgood:        (theta, ctx_lane) -> bool, single lane (vmapped
-                     internally — its retry while_loops stay per-lane).
-      chi_sqr_batch: (thetas (N, k), ctx_batched) -> (misfit, chi, L)
-                     each (N,).  Never called in priori mode.
-      cfg:           ChainConfig.
-
-    Returns ``run(lane_keys, spec_b, ctx_b, theta_init_b, use_init_b)
-    -> track`` of shape (N, chain_len, 3 + k); all args carry a leading
-    lane axis N.  ``lane_keys`` are per-lane PRNG keys — derive them
-    from *global* lane indices (``fold_in(PRNGKey(seed), lane_id)``)
-    and every lane's stream is a pure function of its key: the result
-    is bitwise identical however the lane axis is sharded or padded.
-    RNG streams differ from ``make_chain_kernel``; both samplers
-    target the identical stationary distribution.
+    Returns ``(init_fn, segment_fn)``:
+      init_fn(lane_keys, spec_b, ctx_b, theta_init_b, use_init_b)
+        -> (carry, first_row)      carry = (theta, misfit, chi, L)
+      segment_fn(carry, lane_keys, spec_b, ctx_b, s0, n_steps)
+        -> (carry, rows)           rows (n_steps, N, 3 + k); covers
+                                   global steps s0 .. s0 + n_steps - 1
+                                   (``n_steps`` static, ``s0`` traced)
     """
 
     def eval_all(thetas, ctx_b):
@@ -207,10 +198,9 @@ def make_batched_sampler(isgood, chi_sqr_batch, cfg: ChainConfig):
             return z, z, jnp.ones((N,), thetas.dtype)
         return chi_sqr_batch(thetas, ctx_b)
 
-    def run(lane_keys, spec_b, ctx_b, theta_init_b, use_init_b):
-        N = spec_b.theta0.shape[0]
-        dtype = spec_b.theta0.dtype
+    def init_fn(lane_keys, spec_b, ctx_b, theta_init_b, use_init_b):
         CL = cfg.chain_len
+        dtype = spec_b.theta0.dtype
 
         def init_lane(lk, spec1, ctx1, th_init, ui):
             k1 = jax.random.fold_in(lk, 2 * CL)
@@ -226,7 +216,11 @@ def make_batched_sampler(isgood, chi_sqr_batch, cfg: ChainConfig):
         first = jnp.concatenate(
             [jnp.stack([misfit, L, jnp.ones_like(misfit)], axis=1), theta],
             axis=1)
+        return (theta, misfit, chi, L), first
 
+    def segment_fn(carry, lane_keys, spec_b, ctx_b, s0, n_steps):
+        N = spec_b.theta0.shape[0]
+        dtype = spec_b.theta0.dtype
         vprop = jax.vmap(
             lambda k, th, s, cx: _propose(k, th, s, cx, isgood, cfg))
 
@@ -255,8 +249,47 @@ def make_batched_sampler(isgood, chi_sqr_batch, cfg: ChainConfig):
                    jnp.where(accept, L1, L0))
             return new, row
 
-        _, rows = lax.scan(step, (theta, misfit, chi, L),
-                           jnp.arange(CL - 1))
+        return lax.scan(step, carry, s0 + jnp.arange(n_steps))
+
+    return init_fn, segment_fn
+
+
+def make_batched_sampler(isgood, chi_sqr_batch, cfg: ChainConfig):
+    """Time-major sampler: one fused *batched* forward per MCMC step.
+
+    ``make_chain_kernel`` nests the time loop inside each vmapped chain,
+    so the dispersion solve runs as vmapped single-model XLA scans.
+    Here the loop order is inverted: every lane (chain, or point x
+    chain) advances one Metropolis step per ``lax.scan`` iteration, and
+    all lanes' forwards evaluate in ONE ``chi_sqr_batch`` call — which
+    routes through ``surf_forward_batch`` and hence the fused Pallas
+    secular kernel on TPU (~7-10x the vmapped XLA path).
+
+    Args:
+      isgood:        (theta, ctx_lane) -> bool, single lane (vmapped
+                     internally — its retry while_loops stay per-lane).
+      chi_sqr_batch: (thetas (N, k), ctx_batched) -> (misfit, chi, L)
+                     each (N,).  Never called in priori mode.
+      cfg:           ChainConfig.
+
+    Returns ``run(lane_keys, spec_b, ctx_b, theta_init_b, use_init_b)
+    -> track`` of shape (N, chain_len, 3 + k); all args carry a leading
+    lane axis N.  ``lane_keys`` are per-lane PRNG keys — derive them
+    from *global* lane indices (``fold_in(PRNGKey(seed), lane_id)``)
+    and every lane's stream is a pure function of its key: the result
+    is bitwise identical however the lane axis is sharded or padded.
+    RNG streams differ from ``make_chain_kernel``; both samplers
+    target the identical stationary distribution.
+    """
+
+    init_fn, segment_fn = make_segmented_sampler(isgood, chi_sqr_batch,
+                                                  cfg)
+
+    def run(lane_keys, spec_b, ctx_b, theta_init_b, use_init_b):
+        carry, first = init_fn(lane_keys, spec_b, ctx_b, theta_init_b,
+                               use_init_b)
+        _, rows = segment_fn(carry, lane_keys, spec_b, ctx_b,
+                             jnp.asarray(0, jnp.int32), cfg.chain_len - 1)
         # rows: (chain_len-1, N, 3+k) -> (N, chain_len, 3+k)
         return jnp.concatenate([first[:, None], jnp.moveaxis(rows, 0, 1)],
                                axis=1)

@@ -98,7 +98,8 @@ class Point:
     # ---- vmapped on-device MCMC (replaces mp.Pool, point.py:90-125) -----
     def MCinvMP(self, outdir="MCtest", pid=None, runN=50000, chainL=1000,
                 nprocess=None, seed=42, priori=False, isgood=None,
-                verbose=True, wave="rayleigh", sampler="batched"):
+                verbose=True, wave="rayleigh", sampler="batched",
+                segment=100):
         """All runN//chainL chain segments as vmapped lanes on one chip.
 
         ``nprocess`` is accepted for API compatibility and ignored — the
@@ -109,13 +110,19 @@ class Point:
         ``surf_forward_batch`` call (fused Pallas path on TPU);
         "legacy" keeps the per-chain vmapped kernel.  Both target the
         same stationary distribution; RNG streams differ.
+
+        ``segment``: run the batched sampler in jitted segments of this
+        many steps (bitwise identical to the monolithic scan — see
+        make_segmented_sampler) so each device execution stays short;
+        infrastructures with an execution watchdog kill multi-minute
+        single executions.  None = monolithic.
         """
         import jax
         import jax.numpy as jnp
         from pysurfinv_tpu.inversion.compiled import CompiledModel
         from pysurfinv_tpu.inversion.mcmc import (ChainConfig,
-                                                  make_batched_sampler,
                                                   make_chain_kernel,
+                                                  make_segmented_sampler,
                                                   run_chains)
 
         if priori and outdir.split("_")[-1] != "priori":
@@ -133,7 +140,7 @@ class Point:
 
         if sampler == "batched":
             chi_b = self._compiled_chi_sqr_batch(cm, periods, wave)
-            run = make_batched_sampler(
+            init_fn, seg_fn = make_segmented_sampler(
                 lambda th, psi: cm.isgood(th, psi), chi_b, cfg)
             N = n_chains
             bcast = lambda x: jnp.broadcast_to(  # noqa: E731
@@ -144,8 +151,26 @@ class Point:
             use_init = jnp.arange(N) == 0
             lane_keys = jax.vmap(
                 lambda i: jax.random.fold_in(key, i))(jnp.arange(N))
-            tracks = jax.jit(run)(lane_keys, spec_b, psi_b, theta0_b,
-                                  use_init)
+            carry, first = jax.jit(init_fn)(lane_keys, spec_b, psi_b,
+                                            theta0_b, use_init)
+            seg = (chainL - 1 if segment is None
+                   else min(max(int(segment), 1), chainL - 1))
+            seg_jit = jax.jit(lambda c, lk, sp, cx, s0: seg_fn(
+                c, lk, sp, cx, s0, seg))
+            s = 0
+            row_segs = []
+            while s < chainL - 1:
+                # fixed seg-step executions; a short tail's surplus
+                # rows are discarded (see parallel/grid.py for why)
+                n = min(seg, chainL - 1 - s)
+                carry, rows = seg_jit(carry, lane_keys, spec_b, psi_b,
+                                      jnp.asarray(s, jnp.int32))
+                row_segs.append(np.asarray(rows)[:n])
+                s += n
+            rows = np.concatenate(row_segs, axis=0)
+            tracks = np.concatenate(
+                [np.asarray(first)[:, None], np.moveaxis(rows, 0, 1)],
+                axis=1)
         else:
             chi_sqr = self._compiled_chi_sqr(cm, periods, wave)
             kernel = make_chain_kernel(lambda th, psi: cm.isgood(th, psi),
@@ -200,8 +225,13 @@ class Point:
                                                   surf_forward_batch)
 
         mk = jax.vmap(self._misfit_kernel())
-        scfg = (solver_cfg or SurfConfig())._replace(nmodes=1,
-                                                     compute_group=False)
+        # MCMC observations are dense in period, so the warm-start
+        # window can be much tighter than the conservative library
+        # default (nscan=24/backoff=6/coarse_first=8 validated: ok and
+        # roots identical to the wide window on the Cascadia families)
+        scfg = (solver_cfg or SurfConfig(nscan=24, warm_backoff=6,
+                                         coarse_first=8)
+                )._replace(nmodes=1, compute_group=False)
 
         def chi_sqr_batch(thetas, psis):
             h, vp, vs, rho, qsi, nlay = cm.build_profile_batch(thetas, psis)

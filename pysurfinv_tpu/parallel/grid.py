@@ -29,7 +29,9 @@ import numpy as np
 
 def invert_grid(points, lonlats, outdir="mcdata", runN=24000, chainL=800,
                 seed=42, priori=False, wave="rayleigh", mesh=None,
-                verbose=True, point_cls=None, sampler="batched"):
+                verbose=True, point_cls=None, sampler="batched",
+                segment=100, retries=2, checkpoint=None, resume=False,
+                _abort_after_segments=None):
     """Run MCMC for many grid points as one sharded computation.
 
     Args:
@@ -45,6 +47,25 @@ def invert_grid(points, lonlats, outdir="mcdata", runN=24000, chainL=800,
                the Pallas path on TPU — under ``shard_map`` over the
                "points" mesh axis; "legacy" keeps the per-point vmapped
                chain kernel under automatic sharding.
+      segment: batched sampler only — run the chain in jitted segments
+               of this many steps (None = one monolithic scan).  Every
+               step's RNG draws are a pure function of (lane key,
+               global step index), so segmented and monolithic runs
+               are bitwise identical; segmentation enables the three
+               features below AND keeps each device execution short —
+               infrastructures with an execution watchdog (observed on
+               the tunnelled dev chip: single executions over ~2-3
+               minutes are killed as UNAVAILABLE) need it for long
+               chains.
+      retries: on a transient device fault (e.g. a preempted or
+               tunnelled chip dropping a launch) re-run the failed
+               segment this many times before giving up.  The sampler
+               is deterministic, so a retry continues the exact chain.
+      checkpoint: optional path; after each segment the carry and the
+               rows so far are written there, and
+      resume:  True resumes from ``checkpoint`` if it exists —
+               mid-chain checkpoint/resume the reference lacks
+               (its npz is results-level only, point.py:80-85).
 
     Returns the list of written file paths.
     """
@@ -52,10 +73,20 @@ def invert_grid(points, lonlats, outdir="mcdata", runN=24000, chainL=800,
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    # Persistent compile cache: grid programs are large (fused Pallas
+    # kernels x sampler), and remote-compile services can time out on
+    # them; once one compile lands, every later run (and retry) is
+    # instant.  No-op if the session already configured a cache.
+    if not jax.config.jax_compilation_cache_dir:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/pysurfinv_jit"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          1.0)
+
     from pysurfinv_tpu.inversion.compiled import BrownianSpec, CompiledModel
     from pysurfinv_tpu.inversion.mcmc import (ChainConfig,
-                                              make_batched_sampler,
-                                              make_chain_kernel)
+                                              make_chain_kernel,
+                                              make_segmented_sampler)
     from pysurfinv_tpu.parallel.mesh import points_mesh
 
     if priori and outdir.split("_")[-1] != "priori":
@@ -129,7 +160,11 @@ def invert_grid(points, lonlats, outdir="mcdata", runN=24000, chainL=800,
         from pysurfinv_tpu.ops.dispersion import (SurfConfig,
                                                   surf_forward_batch)
 
-        scfg = SurfConfig(nmodes=1, compute_group=False)
+        # dense MCMC period lists -> tight warm-start window (validated
+        # against the wide default window: ok and roots identical on
+        # the shipped model families)
+        scfg = SurfConfig(nmodes=1, compute_group=False, nscan=24,
+                          warm_backoff=6, coarse_first=8)
 
         def chi_sqr_batch(thetas, ctx_b):
             psi_b, per_b, c_b, u_b, m_b = ctx_b
@@ -149,7 +184,8 @@ def invert_grid(points, lonlats, outdir="mcdata", runN=24000, chainL=800,
                     jnp.where(ok, chi, 88888.0),
                     jnp.where(ok, L, 0.0))
 
-        run = make_batched_sampler(isgood, chi_sqr_batch, cfg)
+        init_fn, seg_fn = make_segmented_sampler(isgood, chi_sqr_batch,
+                                                 cfg)
 
         # lanes = (point, chain), point-major, sharded on points.
         # Per-lane keys are a pure function of the GLOBAL lane index,
@@ -164,25 +200,112 @@ def invert_grid(points, lonlats, outdir="mcdata", runN=24000, chainL=800,
         lane_keys = put(jax.vmap(lambda i: jax.random.fold_in(key0, i))(
             jnp.arange((K + pad) * n_chains)))
 
+        # check_vma=False where sharded: the sampler's scan/while
+        # carries start from unvarying literals (e.g. the secular
+        # recursion's e1 seed), which the varying-manual-axes checker
+        # rejects even though the program is purely lane-parallel (no
+        # cross-device communication inside).
+        pp = P("points")
         if n_dev > 1:
-            # check_vma=False: the sampler's scan/while carries start
-            # from unvarying literals (e.g. the secular recursion's e1
-            # seed), which the varying-manual-axes checker rejects even
-            # though the program is purely lane-parallel (no cross-
-            # device communication inside).
-            run_all = jax.shard_map(
-                run, mesh=mesh,
-                in_specs=(P("points"), P("points"), P("points"),
-                          P("points"), P("points")),
-                out_specs=P("points"), check_vma=False)
+            init_all = jax.shard_map(
+                init_fn, mesh=mesh, in_specs=(pp,) * 5,
+                out_specs=(pp, pp), check_vma=False)
         else:
-            run_all = run
+            init_all = init_fn
+        init_all = jax.jit(init_all)
+
+        seg_cache = {}
+
+        def seg_all(n):
+            if n not in seg_cache:
+                f = (lambda carry, lk, sp, cx, s0, n=n:
+                     seg_fn(carry, lk, sp, cx, s0, n))
+                if n_dev > 1:
+                    f = jax.shard_map(
+                        f, mesh=mesh,
+                        in_specs=(pp, pp, pp, pp, P()),
+                        out_specs=(pp, P(None, "points")),
+                        check_vma=False)
+                seg_cache[n] = jax.jit(f)
+            return seg_cache[n]
+
+        def _transient(e):
+            """Device/infra faults worth retrying (the tunnelled chip
+            surfaces them as JaxRuntimeError OR ValueError, with
+            gRPC-style status words in the message)."""
+            msg = str(e)
+            return any(w in msg for w in (
+                "UNAVAILABLE", "INTERNAL", "DEADLINE_EXCEEDED",
+                "device error", "remote_compile", "ABORTED"))
+
+        def attempt(fn, *args):
+            """Run fn, retrying transient device faults."""
+            import jax as _jax
+            for r in range(retries + 1):
+                try:
+                    out = fn(*args)
+                    _jax.block_until_ready(out)
+                    return out
+                except Exception as e:  # noqa: BLE001
+                    if r == retries or not _transient(e):
+                        raise
+                    if verbose:
+                        print(f"invert_grid: transient device fault "
+                              f"({type(e).__name__}), retry "
+                              f"{r + 1}/{retries}")
+                    time.sleep(10.0 * (r + 1))
+
+        seg = (chainL - 1 if segment is None
+               else min(max(int(segment), 1), chainL - 1))
         with mesh:
-            tracks = jax.jit(run_all)(lane_keys, spec_l, ctx_l, theta0_l,
-                                      use_init)
-            tracks.block_until_ready()
-        tracks = np.asarray(tracks).reshape(
-            K + pad, n_chains, chainL, -1)[:K]
+            s = 0
+            row_segs = []
+            carry = first = None
+            if resume and checkpoint and os.path.exists(checkpoint):
+                ck = np.load(checkpoint, allow_pickle=True)
+                s = int(ck["s"])
+                carry = tuple(jnp.asarray(ck[f"carry{i}"])
+                              for i in range(4))
+                first = jnp.asarray(ck["first"])
+                row_segs = [np.asarray(ck["rows"])] if s > 0 else []
+                if verbose:
+                    print(f"invert_grid: resumed at step {s}")
+            if carry is None:
+                carry, first = attempt(init_all, lane_keys, spec_l,
+                                       ctx_l, theta0_l, use_init)
+            while s < chainL - 1:
+                n = min(seg, chainL - 1 - s)
+                # Always execute exactly ``seg`` steps and discard the
+                # surplus rows of a short tail: XLA fully unrolls
+                # length-1 scans, which re-associates the step math and
+                # breaks bitwise identity with the monolithic run.  The
+                # surplus steps' RNG indices are distinct (each step is
+                # keyed by its global index), so kept rows are
+                # unaffected, and the over-advanced carry is never used
+                # (a short tail is always the final segment).
+                carry, rows = attempt(seg_all(seg), carry, lane_keys,
+                                      spec_l, ctx_l,
+                                      jnp.asarray(s, jnp.int32))
+                row_segs.append(np.asarray(rows)[:n])
+                s += n
+                if checkpoint:
+                    tmp = checkpoint + ".tmp.npz"
+                    with open(tmp, "wb") as fh:
+                        np.savez(fh, s=s, first=np.asarray(first),
+                                 rows=np.concatenate(row_segs, axis=0),
+                                 **{f"carry{i}": np.asarray(c)
+                                    for i, c in enumerate(carry)})
+                    os.replace(tmp, checkpoint)
+                if (_abort_after_segments is not None
+                        and len(row_segs) >= _abort_after_segments
+                        and s < chainL - 1):
+                    # testing hook: simulate the process dying mid-run
+                    raise KeyboardInterrupt("aborted after "
+                                            f"{len(row_segs)} segments")
+        rows = np.concatenate(row_segs, axis=0)    # (chainL-1, N, 3+k)
+        tracks = np.concatenate(
+            [np.asarray(first)[:, None], np.moveaxis(rows, 0, 1)], axis=1)
+        tracks = tracks.reshape(K + pad, n_chains, chainL, -1)[:K]
     else:
         kernel = make_chain_kernel(isgood, chi_sqr, cfg)
 

@@ -68,6 +68,51 @@ def test_sharding_does_not_change_results(invdir, tmp_path):
         np.testing.assert_array_equal(a, b)
 
 
+def test_segmented_resume_matches_monolithic(invdir, tmp_path):
+    """Segmented execution + mid-chain checkpoint/resume are bitwise
+    identical to the monolithic scan.
+
+    Every step's RNG draws are a pure function of (lane key, global
+    step index) — see make_segmented_sampler — so splitting the chain
+    into jitted segments, or killing it mid-run and resuming from the
+    checkpoint, must reproduce the exact same track.
+    """
+    import os
+    from pysurfinv_tpu.parallel.grid import invert_grid
+    from pysurfinv_tpu.parallel.mesh import points_mesh
+
+    pts, lls = _mk_points()
+
+    # segmented, with a checkpoint file
+    out_seg = str(tmp_path / "mc_seg")
+    ck = str(tmp_path / "ck.npz")
+    invert_grid(pts, lls, outdir=out_seg, runN=24, chainL=8, seed=3,
+                mesh=points_mesh(4), verbose=False, segment=3,
+                checkpoint=ck)
+    assert os.path.exists(ck)
+
+    # a run killed mid-chain (after the first 3-step segment) ...
+    out_res = str(tmp_path / "mc_res")
+    ck2 = str(tmp_path / "ck2.npz")
+    with pytest.raises(KeyboardInterrupt):
+        invert_grid(pts, lls, outdir=out_res, runN=24, chainL=8, seed=3,
+                    mesh=points_mesh(4), verbose=False, segment=3,
+                    checkpoint=ck2, _abort_after_segments=1)
+    assert int(np.load(ck2)["s"]) == 3
+    # ... resumes from its checkpoint and completes the tail only
+    invert_grid(pts, lls, outdir=out_res, runN=24, chainL=8, seed=3,
+                mesh=points_mesh(4), verbose=False, segment=3,
+                checkpoint=ck2, resume=True)
+
+    for lon, lat in lls:
+        pid = f"{lon:g}_{lat:g}"
+        a = np.load(f"{invdir}/{pid}.npz", allow_pickle=True)["mcTrack"]
+        b = np.load(f"{out_seg}/{pid}.npz", allow_pickle=True)["mcTrack"]
+        c = np.load(f"{out_res}/{pid}.npz", allow_pickle=True)["mcTrack"]
+        np.testing.assert_array_equal(a, b)
+        np.testing.assert_array_equal(a, c)
+
+
 def test_model3d_pipeline(invdir):
     from pysurfinv_tpu.geo.model3d import Model3D
     m3 = Model3D()
