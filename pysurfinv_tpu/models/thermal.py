@@ -451,3 +451,43 @@ class OceanSeisStix(SeisModel):
         self._therMod = therMod
         self.zdeps = therMod.zdeps
         self.vs = stix_vs(therMod.T, therMod.zdeps)
+
+
+class OceanSeisYaTa_unrelaxed(SeisModel):
+    """Unrelaxed-modulus Vs only, no anelastic relaxation
+    (ThermSeis.py:424-431)."""
+
+    def fromThermal(self, therMod):
+        self._therMod = therMod
+        self.zdeps = therMod.zdeps
+        Ju = 1.0 / (72.45 - 0.01094 * (therMod.T - C2K)
+                    + 1.987 * therMod.P / 1e9) * 1e-9
+        self.vs = 1.0 / jnp.sqrt(therMod.rho * Ju) / 1000.0
+
+
+class OceanSeisRuan_old(SeisModel):
+    """Archival Ruan 2018 variant kept by the reference
+    (ThermSeis.py:488-592): damp-switchable solidus (True = damp
+    Ruan2018, False = Hirschmann2009, numeric = fixed Tm), J1-only
+    velocity reduction, mu_P 1.75 (or YaTa's 1.987 with YaTaJu)."""
+
+    def __init__(self, therMod=None, damp=True, YaTaJu=False, period=50):
+        self.damp, self.YaTaJu, self.period = damp, YaTaJu, period
+        super().__init__(therMod)
+
+    def fromThermal(self, therMod):
+        self._therMod = therMod
+        self.zdeps = therMod.zdeps
+        T, P, rho = therMod.T, therMod.P, therMod.rho
+        mu_P = 1.987 if self.YaTaJu else 1.75
+        Ju = 1.0 / (72.45 - 0.01094 * (T - C2K) + mu_P * P / 1e9) * 1e-9
+        Tm = ("Ruan2018" if self.damp is True else
+              "Hirschmann2009" if self.damp is False else self.damp)
+        J1, J2 = yata_anelasticity(T, P, self.period, Tm=Tm)
+        self.vs = 1.0 / jnp.sqrt(rho * Ju * J1) / 1000.0
+        self.vs_no_anelastic = 1.0 / jnp.sqrt(rho * Ju) / 1000.0
+        J2 = jnp.maximum(J2, jnp.asarray(1e-30, J2.dtype))
+        self.qs = J1 / J2
+
+
+behn2009Shear = behn2009_shear  # exact reference name (ThermSeis.py:451)

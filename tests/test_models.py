@@ -150,3 +150,32 @@ def test_pure_layers():
                    "rho": [2.6, 2.8, 3.0], "qs": [80, 100, 150],
                    "qp": [160, 200, 300]})
     assert float(pg.H()) == 3.0
+
+
+def test_thermal_archival_variants():
+    """OceanSeisYaTa_unrelaxed / OceanSeisRuan_old / behn2009Shear parity.
+
+    The unrelaxed class must equal OceanSeisYaTa's own unrelaxed branch
+    (same Ju, no J1), and the archival Ruan variant must stay finite in
+    f32 over a full plate-age range (ThermSeis.py:424-431, 488-592).
+    """
+    import numpy as np
+    from pysurfinv_tpu.models.thermal import (
+        HSCM, OceanSeisRuan_old, OceanSeisYaTa, OceanSeisYaTa_unrelaxed,
+        behn2009Shear, behn2009_shear)
+
+    assert behn2009Shear is behn2009_shear
+    for age in (0.5, 4.0, 80.0):
+        t = HSCM(age=age)
+        unrel = OceanSeisYaTa_unrelaxed(t)
+        yata = OceanSeisYaTa(t)
+        np.testing.assert_allclose(np.asarray(unrel.vs),
+                                   np.asarray(yata.vs_unrelaxed),
+                                   rtol=1e-6)
+        old = OceanSeisRuan_old(t)
+        assert np.isfinite(np.asarray(old.vs)).all()
+        assert np.isfinite(np.asarray(old.qs)).all()
+        assert (np.asarray(old.qs) > 0).all()
+        # anelasticity can only slow the wave
+        assert (np.asarray(old.vs) <= np.asarray(old.vs_no_anelastic)
+                + 1e-9).all()
