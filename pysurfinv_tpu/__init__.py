@@ -20,10 +20,45 @@ Design principles (TPU-first):
     a ``jax.sharding.Mesh`` over ICI.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from pysurfinv_tpu.ops.dispersion import (  # noqa: F401
     surf_forward,
     surf_forward_batch,
+    surf_ellipticity,
     SurfConfig,
 )
+
+
+def __getattr__(name):
+    """Lazy top-level re-exports of the main user-facing classes.
+
+    Importing them eagerly would pull matplotlib/pandas into every
+    process (including pure solver workloads); lazy access keeps
+    ``import pysurfinv_tpu`` light while letting users write e.g.
+    ``pysurfinv_tpu.Point`` / ``Model3D`` / ``buildModel1D`` directly.
+    """
+    _lazy = {
+        "buildModel1D": "pysurfinv_tpu.models.model1d",
+        "Model1D": "pysurfinv_tpu.models.model1d",
+        "buildSeisLayer": "pysurfinv_tpu.models.layers",
+        "BrownianVar": "pysurfinv_tpu.models.brownian",
+        "BrownianVarMC": "pysurfinv_tpu.models.brownian",
+        "Point": "pysurfinv_tpu.inversion.point",
+        "PointCascadia": "pysurfinv_tpu.inversion.point",
+        "PostPoint": "pysurfinv_tpu.inversion.point",
+        "PostPointCascadia": "pysurfinv_tpu.inversion.point",
+        "invert_grid": "pysurfinv_tpu.parallel.grid",
+        "Model3D": "pysurfinv_tpu.geo.model3d",
+        "Model1D_Exchange": "pysurfinv_tpu.geo.exchange",
+        "Model3D_Exchange": "pysurfinv_tpu.geo.exchange",
+        "SensKernel": "pysurfinv_tpu.senskernel",
+        "SensKernelPert": "pysurfinv_tpu.senskernel",
+        "sensitivity_kernels": "pysurfinv_tpu.ops.kernels",
+        "eigenfunctions": "pysurfinv_tpu.ops.eigen",
+    }
+    if name in _lazy:
+        import importlib
+
+        return getattr(importlib.import_module(_lazy[name]), name)
+    raise AttributeError(f"module 'pysurfinv_tpu' has no attribute {name!r}")
