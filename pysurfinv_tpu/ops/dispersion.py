@@ -6,11 +6,13 @@ Replaces the reference's sequential bracket + Neville refinement
 
   1. **Bracket (sequential over periods, wide over the c-grid):** per
      period, evaluate the secular function on a coarse c-grid *in
-     parallel*, take the first sign change, and narrow it to a ``dc``
-     cell — preserving the reference's guarantee of landing on the
-     fundamental (lowest) root.  Each period warm-starts just below the
-     previous period's bracket; each overtone starts just above the
-     previous mode's root (calcul.f:138-151).
+     parallel* and take the first sign change — preserving the
+     reference's guarantee of landing on the fundamental (lowest)
+     root.  The cold first period narrows its hit cell to ``dc``; warm
+     periods hand the ``coarse*dc`` cell straight to the refinement.
+     Each period warm-starts just below the previous period's bracket;
+     each overtone starts just above the previous mode's root
+     (calcul.f:138-151).
   2. **Refine (parallel over all (period, mode) lanes):** a single
      fixed-iteration Illinois (regula-falsi) loop refines every bracket
      at once.  The halfspace truncation is frozen at each bracket's
@@ -23,8 +25,9 @@ Replaces the reference's sequential bracket + Neville refinement
      secular function at the root, u = c / (1 - (T/c) * F_T / F_c),
      with the attenuated+flattened model held fixed — the exact
      continuum limit of the reference's eigenfunction energy integrals
-     (surfa.f LEIGEN / REIGEN), evaluated by ``jax.grad`` instead of
-     RK4 sweeps, for all lanes in one vmapped pass.
+     (surfa.f LEIGEN / REIGEN), evaluated by forward-mode tangents
+     (in-kernel on the fast path, ``jax.jvp`` on the XLA path) for all
+     lanes at once; the same tangents Newton-polish the root for free.
 
 Everything is shape-static and branch-free, so ``jax.vmap`` over models
 turns the whole solve into wide VPU lanes.
@@ -70,12 +73,14 @@ class SurfConfig(NamedTuple):
     #                           kernel's plain+grad bodies together overflow
     #                           Mosaic's per-kernel VMEM stack and spill).
     #                           XLA path ignores this.
-    coarse: int = 2           # warm-period sweep step, in dc.  The sweep
-    #                           narrows its hit cell back to dc, so the only
-    #                           failure class is a *pair* of roots inside one
-    #                           coarse cell (no net sign change) — possible
-    #                           only when the NEXT mode lies within coarse*dc
-    #                           of the target, tighter than typical mode
+    coarse: int = 2           # warm-period sweep step, in dc.  The hit cell
+    #                           is handed to the refinement at coarse*dc
+    #                           width (Illinois absorbs it in ~1 extra
+    #                           iteration), so the only failure class is a
+    #                           *pair* of roots inside one coarse cell (no
+    #                           net sign change) — possible only when the
+    #                           NEXT mode lies within coarse*dc of the
+    #                           target, tighter than typical mode
     #                           separation; the reference's own dc stepping
     #                           has the same failure class at 0.01 km/s.
     #                           Overtone sweeps always run at dc.
