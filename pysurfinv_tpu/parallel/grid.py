@@ -15,6 +15,13 @@ per-point vectors (psi, theta bounds) so a single compiled program
 serves the whole grid.  Mixed settings (ocean + continent grids) are
 handled by calling ``invert_grid`` once per model family.
 
+Very large grids should likewise be tiled into multiple ``invert_grid``
+calls of up to ~1k (point, chain) lanes each: per-lane work is
+identical, so tiling costs nothing, and some compile services (observed
+on a tunnelled dev chip) reject the single XLA program above a few
+thousand lanes.  Tiles reuse the persistent compile cache, so only the
+first pays compilation.
+
 Output: one ``{lon:g}_{lat:g}.npz`` per point in the reference chain
 format, directly consumable by PostPoint / Model3D.loadInvDir.
 """
