@@ -15,12 +15,13 @@ per-point vectors (psi, theta bounds) so a single compiled program
 serves the whole grid.  Mixed settings (ocean + continent grids) are
 handled by calling ``invert_grid`` once per model family.
 
-Very large grids should likewise be tiled into multiple ``invert_grid``
-calls of up to ~1k (point, chain) lanes each: per-lane work is
-identical, so tiling costs nothing, and some compile services (observed
-on a tunnelled dev chip) reject the single XLA program above a few
-thousand lanes.  Tiles reuse the persistent compile cache, so only the
-first pays compilation.
+Very large grids auto-tile into programs of at most ``max_lanes``
+(point, chain) lanes (default 1024): per-lane work is identical, so
+tiling costs nothing, and some compile services (observed on a
+tunnelled dev chip) reject a single XLA program above a few thousand
+lanes.  Tiles reuse the persistent compile cache — only the first pays
+compilation — and lane PRNG keys are offset per tile, so tiled and
+untiled runs produce bitwise-identical tracks.
 
 Output: one ``{lon:g}_{lat:g}.npz`` per point in the reference chain
 format, directly consumable by PostPoint / Model3D.loadInvDir.
@@ -38,7 +39,8 @@ def invert_grid(points, lonlats, outdir="mcdata", runN=24000, chainL=800,
                 seed=42, priori=False, wave="rayleigh", mesh=None,
                 verbose=True, point_cls=None, sampler="batched",
                 segment=100, retries=2, checkpoint=None, resume=False,
-                _abort_after_segments=None):
+                max_lanes=1024, _abort_after_segments=None,
+                _lane_offset=0):
     """Run MCMC for many grid points as one sharded computation.
 
     Args:
@@ -73,6 +75,11 @@ def invert_grid(points, lonlats, outdir="mcdata", runN=24000, chainL=800,
       resume:  True resumes from ``checkpoint`` if it exists —
                mid-chain checkpoint/resume the reference lacks
                (its npz is results-level only, point.py:80-85).
+      max_lanes: batched sampler only — auto-tile the point axis so no
+               single compiled program exceeds this many (point, chain)
+               lanes (compile services can reject very large programs).
+               Lane PRNG keys are offset per tile so tiled and untiled
+               runs are bitwise identical.  None disables tiling.
 
     Returns the list of written file paths.
     """
@@ -98,6 +105,30 @@ def invert_grid(points, lonlats, outdir="mcdata", runN=24000, chainL=800,
 
     if priori and outdir.split("_")[-1] != "priori":
         outdir = "_".join((outdir, "priori"))
+
+    # ---- auto-tiling ---------------------------------------------------
+    # Very large single programs can exceed compile-service limits; tile
+    # the point axis so each call stays under ``max_lanes`` lanes.  Lane
+    # PRNG keys derive from the *global* lane index (offset per tile),
+    # so tiled and untiled runs produce bitwise-identical tracks.
+    nch = max(runN // chainL, 1)
+    if (sampler == "batched" and max_lanes and len(points) > 1
+            and len(points) * nch > max_lanes):
+        per = max(1, max_lanes // nch)
+        paths = []
+        for i in range(0, len(points), per):
+            ck = f"{checkpoint}.tile{i}" if checkpoint else None
+            paths += invert_grid(
+                points[i:i + per], lonlats[i:i + per], outdir=outdir,
+                runN=runN, chainL=chainL, seed=seed, priori=priori,
+                wave=wave, mesh=mesh, verbose=verbose,
+                point_cls=point_cls, sampler=sampler, segment=segment,
+                retries=retries, checkpoint=ck, resume=resume,
+                max_lanes=None,
+                _abort_after_segments=_abort_after_segments,
+                _lane_offset=_lane_offset + i * nch)
+        return paths
+
     t0 = time.time()
     K = len(points)
     cm = CompiledModel(points[0].initMod)
@@ -205,7 +236,7 @@ def invert_grid(points, lonlats, outdir="mcdata", runN=24000, chainL=800,
         use_init = put(jnp.tile(jnp.arange(n_chains) == 0, K + pad))
         key0 = jax.random.PRNGKey(seed)
         lane_keys = put(jax.vmap(lambda i: jax.random.fold_in(key0, i))(
-            jnp.arange((K + pad) * n_chains)))
+            jnp.arange((K + pad) * n_chains) + _lane_offset))
 
         # check_vma=False where sharded: the sampler's scan/while
         # carries start from unvarying literals (e.g. the secular

@@ -113,6 +113,28 @@ def test_segmented_resume_matches_monolithic(invdir, tmp_path):
         np.testing.assert_array_equal(a, c)
 
 
+def test_auto_tiling_matches_untiled(invdir, tmp_path):
+    """max_lanes tiling is bitwise identical to the single program.
+
+    Lane PRNG keys are offset by each tile's global start lane, so
+    splitting the point axis cannot change any chain (the discarded
+    per-tile pad lanes are the only difference).
+    """
+    from pysurfinv_tpu.parallel.grid import invert_grid
+    from pysurfinv_tpu.parallel.mesh import points_mesh
+
+    pts, lls = _mk_points()
+    out_t = str(tmp_path / "mc_tiled")
+    # 4 points x 3 chains = 12 lanes; max_lanes=6 forces 2 tiles
+    invert_grid(pts, lls, outdir=out_t, runN=24, chainL=8, seed=3,
+                mesh=points_mesh(1), verbose=False, max_lanes=6)
+    for lon, lat in lls:
+        pid = f"{lon:g}_{lat:g}"
+        a = np.load(f"{invdir}/{pid}.npz", allow_pickle=True)["mcTrack"]
+        b = np.load(f"{out_t}/{pid}.npz", allow_pickle=True)["mcTrack"]
+        np.testing.assert_array_equal(a, b)
+
+
 def test_model3d_pipeline(invdir):
     from pysurfinv_tpu.geo.model3d import Model3D
     m3 = Model3D()
