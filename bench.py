@@ -78,11 +78,12 @@ def main():
                           1.0)
 
     rng = np.random.default_rng(0)
-    # 32k models per launch: the ~45 kernel launches per solve carry
-    # fixed dispatch cost that amortizes with batch (A/B/A measured on
-    # v5e: 4k: 80k/s, 16k: 111k/s, 32k: 119k/s); grids of this size are
-    # the realistic deployment shape (geographic tile x vmapped chains).
-    B = int(os.environ.get("BENCH_BATCH", 32768))
+    # 64k models per launch: the ~45 kernel launches per solve carry
+    # fixed dispatch cost that amortizes with batch (A/B measured on
+    # v5e: 4k: 80k/s, 16k: 111k/s, 32k: 118k/s, 64k: 122k/s); grids of
+    # this size are the realistic deployment shape (geographic tiles x
+    # vmapped chains).
+    B = int(os.environ.get("BENCH_BATCH", 65536))
     periods = jnp.asarray(np.array(
         [10, 12, 14, 16, 18, 20, 22, 24, 26, 28, 30, 32, 36, 40, 50, 60,
          70, 80], dtype=np.float32))
