@@ -167,10 +167,13 @@ class Point:
                                       jnp.asarray(s, jnp.int32))
                 row_segs.append(np.asarray(rows)[:n])
                 s += n
-            rows = np.concatenate(row_segs, axis=0)
-            tracks = np.concatenate(
-                [np.asarray(first)[:, None], np.moveaxis(rows, 0, 1)],
-                axis=1)
+            if row_segs:  # chainL == 1 -> degenerate zero-step chains
+                rows = np.concatenate(row_segs, axis=0)
+                tracks = np.concatenate(
+                    [np.asarray(first)[:, None], np.moveaxis(rows, 0, 1)],
+                    axis=1)
+            else:
+                tracks = np.asarray(first)[:, None]
         else:
             chi_sqr = self._compiled_chi_sqr(cm, periods, wave)
             kernel = make_chain_kernel(lambda th, psi: cm.isgood(th, psi),
@@ -181,29 +184,58 @@ class Point:
         if verbose:
             print(f"Time cost:{time.time() - timeStamp:.2f} ")
 
-    def _misfit_kernel(self):
-        """Pure (cP (P,)) -> (misfit, chiSqr, L), single lane, vmappable
-        (point.py:37-53 semantics incl. soft cap + 88888 sentinel)."""
+    # ---- traced misfit, the single source of truth for device paths ----
+    @staticmethod
+    def _misfit_from_c(cP, T, obs_c, uncer, obs_m, valid=None):
+        """Traced per-lane misfit from predicted phase velocities.
+
+        Pure jnp function of one lane's arrays — vmappable over chains
+        and grid points — implementing point.py:15-31 (plain chi^2, soft
+        cap, 88888 sentinel).  Subclasses override THIS (not
+        `_misfit_kernel`) so both `MCinvMP` and the sharded
+        `invert_grid` automatically sample with the subclass likelihood.
+
+        Args:
+          cP:    (P,) predicted phase velocities (0 where solver failed).
+          T:     (P,) periods (used by band-split subclasses).
+          obs_c: (P,) observed velocities, 0 where masked.
+          uncer: (P,) observation uncertainties.
+          obs_m: (P,) bool — True where an observation exists.
+          valid: optional (P,) bool restricting the failed-forward check
+                 (models.py:29 `any(c < 0.01)`) to real, unpadded
+                 periods; None checks every entry of ``cP``.
+        """
         import jax.numpy as jnp
 
+        ok = (jnp.all(cP >= 0.01) if valid is None
+              else jnp.all(jnp.where(valid, cP >= 0.01, True)))
+        N = jnp.maximum(jnp.sum(obs_m), 1)
+        chi = jnp.sum(jnp.where(obs_m, ((obs_c - cP) / uncer) ** 2, 0.0))
+        misfit = jnp.sqrt(chi / N)
+        chi = jnp.where(chi < 50, chi, jnp.sqrt(chi * 50.0))
+        L = jnp.exp(-0.5 * chi)
+        return (jnp.where(ok, misfit, 88888.0),
+                jnp.where(ok, chi, 88888.0),
+                jnp.where(ok, L, 0.0))
+
+    def _obs_arrays(self):
+        """(T, obs_c, uncer, obs_m) as jnp arrays for `_misfit_from_c`."""
+        import jax.numpy as jnp
+
+        T = np.asarray(self.obs["T"], dtype=float)
         cO = np.ma.masked_array(np.asarray(self.obs["c"], dtype=float))
-        mask = ~np.ma.getmaskarray(cO)
-        obs_c = jnp.asarray(np.where(mask, cO.filled(0.0), 0.0))
-        obs_m = jnp.asarray(mask)
-        uncer = jnp.asarray(np.asarray(self.obs["uncer"], dtype=float))
-        N = int(mask.sum())
+        mask = ~np.ma.getmaskarray(cO) & np.ones(len(T), bool)
+        return (jnp.asarray(T),
+                jnp.asarray(np.where(mask, cO.filled(0.0), 0.0)),
+                jnp.asarray(np.asarray(self.obs["uncer"], dtype=float)),
+                jnp.asarray(mask))
 
-        def misfit_from_c(cP):
-            ok = jnp.all(cP >= 0.01)
-            chi = jnp.sum(jnp.where(obs_m, ((obs_c - cP) / uncer) ** 2, 0.0))
-            misfit = jnp.sqrt(chi / N)
-            chi = jnp.where(chi < 50, chi, jnp.sqrt(chi * 50.0))
-            L = jnp.exp(-0.5 * chi)
-            return (jnp.where(ok, misfit, 88888.0),
-                    jnp.where(ok, chi, 88888.0),
-                    jnp.where(ok, L, 0.0))
-
-        return misfit_from_c
+    def _misfit_kernel(self):
+        """Pure (cP (P,)) -> (misfit, chiSqr, L), single lane, vmappable
+        — this point's observations bound into `_misfit_from_c`."""
+        T, obs_c, uncer, obs_m = self._obs_arrays()
+        cls = type(self)
+        return lambda cP: cls._misfit_from_c(cP, T, obs_c, uncer, obs_m)
 
     def _compiled_chi_sqr(self, cm, periods, wave):
         mk = self._misfit_kernel()
@@ -283,37 +315,32 @@ class PointCascadia(Point):
         chiSqr = _soft_cap(chiSqr)
         return misfit, chiSqr, np.exp(-0.5 * chiSqr)
 
-    def _misfit_kernel(self):
+    @staticmethod
+    def _misfit_from_c(cP, T, obs_c, uncer, obs_m, valid=None):
+        """Band-split traced misfit (point.py:336-366): chi^2 is the
+        average of the T <= 40 s and T > 40 s mean-square biases, scaled
+        back to N observations.  Fully traced (band counts computed
+        in-graph) so one compiled program serves lanes whose period
+        lists differ — the sharded-grid case."""
         import jax.numpy as jnp
 
-        T = np.asarray(self.obs["T"], dtype=float)
-        cO = np.ma.masked_array(np.asarray(self.obs["c"], dtype=float))
-        mask = ~np.ma.getmaskarray(cO) & np.ones(len(T), bool)
-        obs_c = jnp.asarray(np.where(mask, cO.filled(0.0), 0.0))
-        lo = jnp.asarray(mask & (T <= 40))
-        hi = jnp.asarray(mask & (T > 40))
-        uncer = jnp.asarray(np.asarray(self.obs["uncer"], dtype=float))
-        N = int(mask.sum())
-        n_lo, n_hi = int((mask & (T <= 40)).sum()), int((mask & (T > 40)).sum())
-
-        def misfit_from_c(cP):
-            ok = jnp.all(cP >= 0.01)
-            b2 = ((obs_c - cP) / uncer) ** 2
-            if n_lo and n_hi:
-                chi = (jnp.sum(jnp.where(lo, b2, 0.0)) / n_lo
-                       + jnp.sum(jnp.where(hi, b2, 0.0)) / n_hi) / 2 * N
-            elif n_lo:
-                chi = jnp.sum(jnp.where(lo, b2, 0.0)) / n_lo * N
-            else:
-                chi = jnp.sum(jnp.where(hi, b2, 0.0)) / n_hi * N
-            misfit = jnp.sqrt(chi / N)
-            chi = jnp.where(chi < 50, chi, jnp.sqrt(chi * 50.0))
-            L = jnp.exp(-0.5 * chi)
-            return (jnp.where(ok, misfit, 88888.0),
-                    jnp.where(ok, chi, 88888.0),
-                    jnp.where(ok, L, 0.0))
-
-        return misfit_from_c
+        ok = (jnp.all(cP >= 0.01) if valid is None
+              else jnp.all(jnp.where(valid, cP >= 0.01, True)))
+        lo = obs_m & (T <= 40)
+        hi = obs_m & (T > 40)
+        n_lo, n_hi = jnp.sum(lo), jnp.sum(hi)
+        N = jnp.maximum(n_lo + n_hi, 1)
+        b2 = jnp.where(obs_m, ((obs_c - cP) / uncer) ** 2, 0.0)
+        m_lo = jnp.sum(jnp.where(lo, b2, 0.0)) / jnp.maximum(n_lo, 1)
+        m_hi = jnp.sum(jnp.where(hi, b2, 0.0)) / jnp.maximum(n_hi, 1)
+        chi = jnp.where((n_lo > 0) & (n_hi > 0), (m_lo + m_hi) / 2 * N,
+                        jnp.where(n_lo > 0, m_lo * N, m_hi * N))
+        misfit = jnp.sqrt(chi / N)
+        chi = jnp.where(chi < 50, chi, jnp.sqrt(chi * 50.0))
+        L = jnp.exp(-0.5 * chi)
+        return (jnp.where(ok, misfit, 88888.0),
+                jnp.where(ok, chi, 88888.0),
+                jnp.where(ok, L, 0.0))
 
 
 class PostPoint(Point):

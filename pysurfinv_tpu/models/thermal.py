@@ -469,7 +469,12 @@ class OceanSeisRuan_old(SeisModel):
     """Archival Ruan 2018 variant kept by the reference
     (ThermSeis.py:488-592): damp-switchable solidus (True = damp
     Ruan2018, False = Hirschmann2009, numeric = fixed Tm), J1-only
-    velocity reduction, mu_P 1.75 (or YaTa's 1.987 with YaTaJu)."""
+    velocity reduction, mu_P 1.75 (or YaTa's 1.987 with YaTaJu).
+
+    Deliberate deviation: the reference's deprecated class stores vs in
+    m/s (it never divides by 1000, unlike every other converter); here
+    ``vs`` is km/s — the /1000 below is an intentional unit fix so this
+    class is interchangeable with the rest of the converter family."""
 
     def __init__(self, therMod=None, damp=True, YaTaJu=False, period=50):
         self.damp, self.YaTaJu, self.period = damp, YaTaJu, period

@@ -51,6 +51,11 @@ def invert_grid(points, lonlats, outdir="mcdata", runN=24000, chainL=800,
       runN, chainL, seed, priori: as in Point.MCinvMP.
       mesh:    optional jax Mesh with a "points" axis; default = all
                local devices.
+      point_cls: Point subclass whose ``_misfit_from_c`` defines the
+               likelihood for every lane; default = type(points[0]),
+               with a homogeneity check (a PointCascadia grid samples
+               the band-split chi^2, reference point.py:336-366).
+               Pass explicitly to silence the check for mixed grids.
       sampler: "batched" (default) runs all (point, chain) lanes
                time-major with one fused batched forward per step —
                the Pallas path on TPU — under ``shard_map`` over the
@@ -133,6 +138,20 @@ def invert_grid(points, lonlats, outdir="mcdata", runN=24000, chainL=800,
     K = len(points)
     cm = CompiledModel(points[0].initMod)
 
+    # ---- point-class likelihood -----------------------------------------
+    # The reference's per-point jobs always sample with the point's OWN
+    # misfit (e.g. PointCascadia's band-split chi^2, point.py:336-366);
+    # the sharded grid must too.  All points in one call share one
+    # compiled program, so the class must be homogeneous.
+    pcls = point_cls or type(points[0])
+    bad = [type(p).__name__ for p in points if type(p) is not pcls]
+    if bad and point_cls is None:
+        raise ValueError(
+            f"invert_grid requires a homogeneous point class per call "
+            f"(got {pcls.__name__} and {sorted(set(bad))}); split the "
+            f"grid by class, or pass point_cls explicitly to override")
+    misfit_from_c = pcls._misfit_from_c
+
     # ---- per-point parameter stacks ------------------------------------
     specs = [cm.spec_of(p.initMod) for p in points]
     spec = BrownianSpec(*[jnp.stack([getattr(s, f) for s in specs])
@@ -165,15 +184,7 @@ def invert_grid(points, lonlats, outdir="mcdata", runN=24000, chainL=800,
     def chi_sqr(theta, ctx):
         psi_k, per_k, c_k, u_k, m_k = ctx
         cP = cm.forward(theta, per_k, psi=psi_k, wave=wave)
-        ok = jnp.all(jnp.where(m_k, cP >= 0.01, True))
-        N = jnp.maximum(jnp.sum(m_k), 1)
-        chi = jnp.sum(jnp.where(m_k, ((c_k - cP) / u_k) ** 2, 0.0))
-        misfit = jnp.sqrt(chi / N)
-        chi = jnp.where(chi < 50, chi, jnp.sqrt(chi * 50.0))
-        L = jnp.exp(-0.5 * chi)
-        return (jnp.where(ok, misfit, 88888.0),
-                jnp.where(ok, chi, 88888.0),
-                jnp.where(ok, L, 0.0))
+        return misfit_from_c(cP, per_k, c_k, u_k, m_k, valid=m_k)
 
     cfg = ChainConfig(chain_len=chainL, priori=priori)
     n_chains = runN // chainL
@@ -211,16 +222,10 @@ def invert_grid(points, lonlats, outdir="mcdata", runN=24000, chainL=800,
             c, _, okk = surf_forward_batch(h, vp, vs, rho, qsi, per_b,
                                            nlay, wave=wave, cfg=scfg)
             cP = jnp.where(okk[:, :, 0], c[:, :, 0], 0.0)
-            ok = jnp.all(jnp.where(m_b, cP >= 0.01, True), axis=1)
-            Nn = jnp.maximum(jnp.sum(m_b, axis=1), 1)
-            chi = jnp.sum(jnp.where(m_b, ((c_b - cP) / u_b) ** 2, 0.0),
-                          axis=1)
-            misfit = jnp.sqrt(chi / Nn)
-            chi = jnp.where(chi < 50, chi, jnp.sqrt(chi * 50.0))
-            L = jnp.exp(-0.5 * chi)
-            return (jnp.where(ok, misfit, 88888.0),
-                    jnp.where(ok, chi, 88888.0),
-                    jnp.where(ok, L, 0.0))
+            return jax.vmap(
+                lambda cp, t, oc, u, m:
+                misfit_from_c(cp, t, oc, u, m, valid=m))(
+                    cP, per_b, c_b, u_b, m_b)
 
         init_fn, seg_fn = make_segmented_sampler(isgood, chi_sqr_batch,
                                                  cfg)
@@ -270,11 +275,17 @@ def invert_grid(points, lonlats, outdir="mcdata", runN=24000, chainL=800,
         def _transient(e):
             """Device/infra faults worth retrying (the tunnelled chip
             surfaces them as JaxRuntimeError OR ValueError, with
-            gRPC-style status words in the message)."""
+            gRPC-style status words in the message).  Status words are
+            anchored to the message start so deterministic failures that
+            merely *mention* e.g. INTERNAL (Mosaic/XLA compile errors)
+            surface immediately instead of burning retries."""
+            from jax.errors import JaxRuntimeError
             msg = str(e)
-            return any(w in msg for w in (
-                "UNAVAILABLE", "INTERNAL", "DEADLINE_EXCEEDED",
-                "device error", "remote_compile", "ABORTED"))
+            grpc = msg.startswith(("UNAVAILABLE", "DEADLINE_EXCEEDED",
+                                   "ABORTED", "INTERNAL"))
+            infra = any(w in msg for w in ("device error",
+                                           "remote_compile"))
+            return (isinstance(e, JaxRuntimeError) and grpc) or infra
 
         def attempt(fn, *args):
             """Run fn, retrying transient device faults."""
@@ -299,8 +310,18 @@ def invert_grid(points, lonlats, outdir="mcdata", runN=24000, chainL=800,
             s = 0
             row_segs = []
             carry = first = None
+            ck_meta = {"seed": seed + _lane_offset, "runN": runN,
+                       "chainL": chainL, "K": K,
+                       "n_lanes": (K + pad) * n_chains}
             if resume and checkpoint and os.path.exists(checkpoint):
                 ck = np.load(checkpoint, allow_pickle=True)
+                got = {k: int(ck[k]) for k in ck_meta if k in ck}
+                if got != ck_meta:
+                    raise ValueError(
+                        f"checkpoint {checkpoint} was written by a "
+                        f"different run configuration: saved {got}, "
+                        f"current {ck_meta}; delete it or rerun with "
+                        f"the original settings")
                 s = int(ck["s"])
                 carry = tuple(jnp.asarray(ck[f"carry{i}"])
                               for i in range(4))
@@ -331,6 +352,7 @@ def invert_grid(points, lonlats, outdir="mcdata", runN=24000, chainL=800,
                     with open(tmp, "wb") as fh:
                         np.savez(fh, s=s, first=np.asarray(first),
                                  rows=np.concatenate(row_segs, axis=0),
+                                 **ck_meta,
                                  **{f"carry{i}": np.asarray(c)
                                     for i, c in enumerate(carry)})
                     os.replace(tmp, checkpoint)
@@ -340,9 +362,13 @@ def invert_grid(points, lonlats, outdir="mcdata", runN=24000, chainL=800,
                     # testing hook: simulate the process dying mid-run
                     raise KeyboardInterrupt("aborted after "
                                             f"{len(row_segs)} segments")
-        rows = np.concatenate(row_segs, axis=0)    # (chainL-1, N, 3+k)
-        tracks = np.concatenate(
-            [np.asarray(first)[:, None], np.moveaxis(rows, 0, 1)], axis=1)
+        if row_segs:  # chainL == 1 -> degenerate zero-step chains
+            rows = np.concatenate(row_segs, axis=0)  # (chainL-1, N, 3+k)
+            tracks = np.concatenate(
+                [np.asarray(first)[:, None], np.moveaxis(rows, 0, 1)],
+                axis=1)
+        else:
+            tracks = np.asarray(first)[:, None]
         tracks = tracks.reshape(K + pad, n_chains, chainL, -1)[:K]
     else:
         kernel = make_chain_kernel(isgood, chi_sqr, cfg)

@@ -8,7 +8,7 @@ the 8-device virtual CPU mesh, then the full 3-D product chain.
 import numpy as np
 import pytest
 
-from tests.test_compiled_mcmc import LOCAL, PERIODS, SETTING, UNCERS, VELS
+from tests.test_compiled_mcmc import LOCAL, PERIODS, SETTING, UNCERS, VELS  # noqa: F401
 
 
 def _mk_points():
@@ -133,6 +133,88 @@ def test_auto_tiling_matches_untiled(invdir, tmp_path):
         a = np.load(f"{invdir}/{pid}.npz", allow_pickle=True)["mcTrack"]
         b = np.load(f"{out_t}/{pid}.npz", allow_pickle=True)["mcTrack"]
         np.testing.assert_array_equal(a, b)
+
+
+def test_point_class_misfit_reaches_sampler(invdir):
+    """invert_grid samples with the point class's OWN likelihood.
+
+    A grid of PointCascadia points must record the band-split chi^2
+    (reference point.py:336-366) in the misfit column — recomputing
+    PointCascadia.misfit on host for every proposed theta must match,
+    and must differ from the plain Point chi^2 the round-1 code
+    hardcoded.
+    """
+    import jax
+    import jax.numpy as jnp
+    from pysurfinv_tpu.inversion.compiled import CompiledModel
+    from pysurfinv_tpu.inversion.point import Point, PointCascadia
+
+    pts, _ = _mk_points()
+    p = pts[0]
+    cm = CompiledModel(p.initMod)
+    tr = np.load(f"{invdir}/229_46.npz", allow_pickle=True)["mcTrack"]
+    dev = tr[:, 0]
+
+    periods = jnp.asarray(np.array(PERIODS, float))
+    cPs = jax.jit(jax.vmap(lambda th: cm.forward(th, periods)))(
+        jnp.asarray(tr[:, 3:]))
+    T, obs_c, uncer, obs_m = p._obs_arrays()
+    casc = np.asarray(jax.vmap(
+        lambda cp: PointCascadia._misfit_from_c(cp, T, obs_c, uncer,
+                                                obs_m)[0])(cPs))
+    plain = np.asarray(jax.vmap(
+        lambda cp: Point._misfit_from_c(cp, T, obs_c, uncer,
+                                        obs_m)[0])(cPs))
+    ok = dev < 80000
+    assert ok.sum() >= len(tr) // 2
+    np.testing.assert_allclose(dev[ok], casc[ok], rtol=1e-6, atol=1e-6)
+    # sanity: the two likelihoods genuinely disagree on this chain, so
+    # the match above proves the band-split one reached the sampler
+    assert np.abs(casc[ok] - plain[ok]).max() > 1e-3
+
+
+def test_mixed_point_classes_rejected(tmp_path):
+    from pysurfinv_tpu.inversion.point import Point
+    from pysurfinv_tpu.parallel.grid import invert_grid
+
+    pts, lls = _mk_points()
+    pts[1] = Point(SETTING, dict(LOCAL, sedthk=0.25), periods=PERIODS,
+                   vels=VELS, uncers=UNCERS)
+    with pytest.raises(ValueError, match="homogeneous point class"):
+        invert_grid(pts, lls, outdir=str(tmp_path / "mc"), runN=8,
+                    chainL=4, verbose=False)
+
+
+def test_chainL1_degenerate(tmp_path):
+    """chainL=1 chains have zero Metropolis steps; the track is the
+    init rows alone (advisor r1: np.concatenate([]) crash)."""
+    from pysurfinv_tpu.parallel.grid import invert_grid
+    from pysurfinv_tpu.parallel.mesh import points_mesh
+
+    pts, lls = _mk_points()
+    out = str(tmp_path / "mc1step")
+    invert_grid(pts[:1], lls[:1], outdir=out, runN=2, chainL=1, seed=3,
+                mesh=points_mesh(1), verbose=False)
+    tr = np.load(f"{out}/229_46.npz", allow_pickle=True)["mcTrack"]
+    assert tr.shape[0] == 2
+    assert np.isfinite(tr).all()
+
+
+def test_checkpoint_config_mismatch(tmp_path):
+    """Resuming a checkpoint from a different run configuration raises
+    instead of silently producing corrupted tracks (advisor r1)."""
+    from pysurfinv_tpu.parallel.grid import invert_grid
+    from pysurfinv_tpu.parallel.mesh import points_mesh
+
+    pts, lls = _mk_points()
+    ck = str(tmp_path / "ck.npz")
+    invert_grid(pts, lls, outdir=str(tmp_path / "a"), runN=24, chainL=8,
+                seed=3, mesh=points_mesh(1), verbose=False, segment=3,
+                checkpoint=ck)
+    with pytest.raises(ValueError, match="different run configuration"):
+        invert_grid(pts, lls, outdir=str(tmp_path / "b"), runN=24,
+                    chainL=8, seed=4, mesh=points_mesh(1), verbose=False,
+                    segment=3, checkpoint=ck, resume=True)
 
 
 def test_model3d_pipeline(invdir):
