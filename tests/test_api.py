@@ -2,6 +2,8 @@
 
 import pytest
 
+pytestmark = pytest.mark.quick  # smoke tier
+
 
 def test_lazy_exports_resolve():
     """Every documented pysurfinv_tpu.<Name> re-export resolves."""

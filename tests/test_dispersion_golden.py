@@ -97,6 +97,7 @@ def test_love_group(love, golden, mode):
     assert np.median(rel) < GRV_MEDIAN_TOL[mode]
 
 
+@pytest.mark.quick
 def test_fundamental_tight(rayleigh, love, golden):
     """The inversion only uses mode 0 — hold phase to 1e-5.
 

@@ -30,6 +30,8 @@ difference of noisy phase kernels.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy tier; excluded by -m "not slow"
+
 COLS = {"R": ("Vs", "Vp", "Rho"), "L": ("Vs", "Rho")}
 
 

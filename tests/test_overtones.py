@@ -17,6 +17,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy tier; excluded by -m "not slow"
+
 from pysurfinv_tpu.ops.dispersion import (
     SurfConfig,
     _initial_c,

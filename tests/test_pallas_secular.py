@@ -59,6 +59,7 @@ def _lanes_inputs(batch, periods, cs_per_lane, wave):
     return model_T, fac, c, t, jnp.asarray(nlay)
 
 
+@pytest.mark.quick
 @pytest.mark.parametrize("wave", ["rayleigh", "love"])
 def test_kernel_matches_xla_secular(batch, wave):
     """F, b_hs, mm agree with the XLA path across regimes."""

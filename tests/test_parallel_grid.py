@@ -8,6 +8,8 @@ the 8-device virtual CPU mesh, then the full 3-D product chain.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy tier; excluded by -m "not slow"
+
 from tests.test_compiled_mcmc import LOCAL, PERIODS, SETTING, UNCERS, VELS  # noqa: F401
 
 
