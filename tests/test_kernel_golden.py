@@ -114,10 +114,12 @@ DEPTH_CAP = 200.0
 PHV_TOL = {(0, "Vs"): 0.08, (0, "Vp"): 0.20, (0, "Rho"): 0.35,
            (1, "Vs"): 0.10, (1, "Vp"): 0.25, (1, "Rho"): 0.65}
 # Group kernels: the golden adds a +-1-period dlnT finite difference on
-# top (GRV_SENS_KERNEL.f:100-108).  Its Rho column is excluded: it
-# deviates from our FD-verified values by >3x curve max — note the
-# reference formula's sign asymmetry for rho (f:107 uses "+" where b/a
-# use "-"), which our own-FD cross-check does not reproduce.
+# top (GRV_SENS_KERNEL.f:100-108).  Its Rho column is excluded because
+# the reference formula flips the dlnT-term sign for rho only (f:107
+# uses "+" where the b/a lines use "-") — a DEMONSTRATED reference bug:
+# test_grv_rho_sign_bug_demonstrated below reproduces the golden Rho
+# column verbatim-formula-on-our-kernels only with the flipped sign,
+# while the sign-correct version matches our FD-verified AD kernels.
 GRV_TOL = {"Vs": 0.08, "Vp": 0.15}
 
 
@@ -173,6 +175,91 @@ def test_group_kernels_vs_test1(sens, golden, wt):
             assert err < GRV_TOL[col], f"{wt} T={T} {col}: {err:.3e}"
             checked += 1
     assert checked >= 8
+
+
+def test_grv_rho_sign_bug_demonstrated(golden, eus_model):
+    """Pin the reference's GRV Rho sign bug with evidence (VERDICT r1 #4).
+
+    The group-kernel identity, derived from u = c^2 / (c + T dc/dT), is
+
+        du/dm = (u/c)(2 - u/c) dc/dm - (u/c)^2 d(dc/dm)/dlnT
+
+    with the SAME minus sign for every parameter m.  GRV_SENS_KERNEL.f
+    uses "-" for Vs and Vp (f:105-106) but "+" for Rho (f:107).  Here we
+    re-implement the reference's finite-difference recipe *verbatim*
+    (kernels at T*0.99 / T*1.01, domega = ln(1.01), prefactors from the
+    central run) on top of OUR phase kernels, in both sign variants:
+
+      * the "+" variant reproduces the golden .grv Rho column — so the
+        goldens were produced by exactly this formula, and our phase
+        kernels agree with the reference's where both enter it;
+      * the "-" variant matches our AD group kernels instead, which are
+        independently FD-verified against the forward solver
+        (tests/test_kernels.py) — so "-" is the correct sign and the
+        golden Rho column inherits the bug.
+    """
+    import jax.numpy as jnp
+
+    from pysurfinv_tpu.ops.dispersion import SurfConfig
+    from pysurfinv_tpu.ops.kernels import sensitivity_kernels
+
+    m = eus_model
+    periods = np.asarray(m["periods"], float)
+    cfg = SurfConfig(nmodes=1)
+
+    def kern(scale, group):
+        return sensitivity_kernels(
+            jnp.asarray(m["h"]), jnp.asarray(m["vp"]), jnp.asarray(m["vs"]),
+            jnp.asarray(m["rho"]), jnp.asarray(m["qsinv"]),
+            jnp.asarray(periods * scale), m["nlay"], wave="rayleigh",
+            cfg=cfg, group=group)
+
+    res0 = kern(1.0, True)
+    resm = kern(0.99, False)
+    resp = kern(1.01, False)
+
+    def drho(res):
+        a = np.asarray(res.dc_drho)
+        return a[:, 0] if a.ndim == 3 else a      # (P, L)
+
+    Km, Kp = drho(resm), drho(resp)
+    ad_du = np.asarray(res0.du_drho)
+    ad_du = ad_du[:, 0] if ad_du.ndim == 3 else ad_du
+    c = np.asarray(res0.c).reshape(len(periods), -1)[:, 0]
+    u = np.asarray(res0.u).reshape(len(periods), -1)[:, 0]
+
+    nlay = m["nlay"]
+    rho_l = np.asarray(m["rho"][:nlay], float)
+    ztop, zbot = _layer_edges(golden)
+    dom = np.log(1.01)
+
+    e_plus, e_minus, e_ad = [], [], []
+    for ip, T in enumerate(periods):
+        ref, which = _golden_layer_integrals(
+            golden, "grv", "R", 0, int(T), 2, ztop, zbot)
+        if ref is None or len(ref) < 5:
+            continue
+        u_c = u[ip] / c[ip]
+        avg = 0.5 * u_c * (2.0 - u_c) * (Kp[ip] + Km[ip])[:nlay]
+        dif = 0.5 * u_c**2 * (Kp[ip] - Km[ip])[:nlay] / dom
+        f_plus = (avg + dif) * rho_l / u[ip]   # reference f:107, verbatim
+        f_minus = (avg - dif) * rho_l / u[ip]  # sign-correct identity
+        ad = ad_du[ip][:nlay] * rho_l / u[ip]
+
+        sel = zbot[which] <= DEPTH_CAP
+        scale = np.abs(ref[sel]).max()
+        e_plus.append(np.abs(f_plus[which] - ref)[sel].max() / scale)
+        e_minus.append(np.abs(f_minus[which] - ref)[sel].max() / scale)
+        e_ad.append(np.abs(f_minus[which] - ad[which])[sel].max() / scale)
+    e_plus, e_minus, e_ad = map(np.asarray, (e_plus, e_minus, e_ad))
+    assert len(e_plus) >= 8
+
+    # verbatim "+" reproduces the golden Rho column ...
+    assert e_plus.max() < 0.25, f"verbatim formula vs golden: {e_plus}"
+    # ... the sign-correct "-" does not (the two variants differ hugely)
+    assert np.median(e_minus) > 4 * np.median(e_plus), (e_plus, e_minus)
+    # ... and "-" agrees with our independently FD-verified AD kernels
+    assert e_ad.max() < 0.10, f"sign-correct formula vs AD: {e_ad}"
 
 
 def test_phase_velocity_in_kernel_files(sens, golden):
