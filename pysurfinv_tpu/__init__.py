@@ -26,6 +26,7 @@ from pysurfinv_tpu.ops.dispersion import (  # noqa: F401
     surf_forward,
     surf_forward_batch,
     surf_ellipticity,
+    surf_amplitude,
     SurfConfig,
 )
 
@@ -56,6 +57,7 @@ def __getattr__(name):
         "SensKernelPert": "pysurfinv_tpu.senskernel",
         "sensitivity_kernels": "pysurfinv_tpu.ops.kernels",
         "eigenfunctions": "pysurfinv_tpu.ops.eigen",
+        "eigenfunctions_regular": "pysurfinv_tpu.ops.eigen",
     }
     if name in _lazy:
         import importlib

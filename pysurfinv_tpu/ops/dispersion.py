@@ -361,6 +361,37 @@ def surf_forward(h, vp, vs, rho, qsinv, periods, nlay,
         c_lo = jnp.concatenate([lo0[None], lor], axis=0)   # (P, nmodes)
         mm = jnp.concatenate([mm0[None], mmr], axis=0)
         ok = jnp.concatenate([ok0[None], okr], axis=0)
+
+        # ---- rescue pass: failed lanes re-bracketed from a cold start.
+        # A sparse period list (e.g. T = [10, 30, 60]) can move the root
+        # farther than the warm-start window (nscan*dc) reaches, failing
+        # the period AND killing every later one through `alive` — where
+        # the reference's bracketing walks dc steps indefinitely and
+        # cannot miss (calcul.f:156-168).  Re-solve every failed
+        # (period, mode) lane independently with the first-period
+        # cold-start settings; found lanes keep their warm results
+        # bit-for-bit, and the lax.cond skips the work entirely when
+        # nothing failed (the dense-period MCMC hot path).
+        def _rescue(carry):
+            c_lo, mm, ok = carry
+
+            def cold(t):
+                ci = _initial_c(h_eff, vs, qsinv, nlay, t, wave, cfg)
+                return bracket_period(t, jnp.full((nmodes,), ci, dtype),
+                                      cfg.nscan_first, cfg.coarse_first)
+
+            lo_c, mm_c, ok_c = jax.vmap(cold)(periods)
+            if nmodes > 1:
+                ok_c = jax.vmap(_mode_chain)(ok_c)
+            use = ~ok & ok_c
+            ok_new = ok | ok_c
+            if nmodes > 1:
+                ok_new = jax.vmap(_mode_chain)(ok_new)
+            return (jnp.where(use, lo_c, c_lo), jnp.where(use, mm_c, mm),
+                    ok_new)
+
+        c_lo, mm, ok = lax.cond(jnp.all(ok), lambda x: x, _rescue,
+                                (c_lo, mm, ok))
     else:
         c_lo, mm, ok = lo0[None], mm0[None], ok0[None]
 
@@ -433,6 +464,51 @@ def surf_ellipticity(h, vp, vs, rho, qsinv, periods, nlay,
     ell = jax.vmap(one)(t_l, c_l, ok_l)
     ell = jnp.where(ok_l, ell, 0.0).reshape(c_all.shape)
     return ell, c_all, ok_all
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def surf_amplitude(h, vp, vs, rho, qsinv, periods, nlay,
+                   cfg: SurfConfig = SurfConfig()):
+    """Rayleigh amplitude-response curves (DLTAR4 mup=3 capability).
+
+    Solves the dispersion roots, then evaluates the amplitude response
+    at each root (``surfa.f:366-371``): the e2-seeded closure
+    magnitude, modulated by the water-column standing-wave factor
+    ``cos(wvno d1 sqrt(|c^2/a1^2 - 1|))`` when the top layer is liquid.
+    Per-layer renormalisation makes only *relative* amplitudes across
+    nearby (c, T) meaningful (see ``rayleigh_amplitude``).  Returns
+    (amp, c, valid), each (P, nmodes).
+    """
+    from pysurfinv_tpu.ops.secular import rayleigh_amplitude
+
+    c_all, _, ok_all = surf_forward(h, vp, vs, rho, qsinv, periods, nlay,
+                                    wave="rayleigh",
+                                    cfg=cfg._replace(compute_group=False))
+    L = h.shape[0]
+    idx = jnp.arange(L)
+    thin = (idx < nlay - 1) & (h <= H_MIN)
+    h_eff = jnp.where(thin | (idx >= nlay - 1), 0.0, h)
+    if cfg.flat:
+        fac = flatten_factors(h_eff, nlay, 2)
+    else:
+        from pysurfinv_tpu.ops.flatten import FlatFactors
+        ones = jnp.ones_like(h_eff)
+        fac = FlatFactors(h_flat=h_eff, vel_fac=ones, rho_fac=ones)
+
+    nmodes = cfg.nmodes
+    t_l = jnp.repeat(periods, nmodes)
+    c_l = c_all.reshape(-1)
+    ok_l = ok_all.reshape(-1)
+
+    def one(t, c0, ok):
+        mdl = _model_at_period(t, vp, vs, rho, qsinv, fac, cfg)
+        mm = effective_halfspace(c0, t, mdl[1], mdl[3], nlay, cfg.fact)
+        c_safe = jnp.where(ok, c0, mdl[1][0] + 0.5)
+        return rayleigh_amplitude(c_safe, t, *mdl, mm)
+
+    amp = jax.vmap(one)(t_l, c_l, ok_l)
+    amp = jnp.where(ok_l, amp, 0.0).reshape(c_all.shape)
+    return amp, c_all, ok_all
 
 
 def _pallas_backend(cfg: SurfConfig):
@@ -643,6 +719,42 @@ def _surf_forward_batch_fast(h, vp, vs, rho, qsinv, periods, nlay,
         c_lo = jnp.concatenate([lo0[None], lor], 0)    # (P, nmodes, B)
         mm = jnp.concatenate([mm0[None], mmr], 0)
         ok = jnp.concatenate([ok0[None], okr], 0)
+
+        # ---- rescue pass (see surf_forward): sparse period lists can
+        # outrun the warm-start window; re-bracket failed lanes from a
+        # cold start.  narrow=False keeps bracket widths equal to the
+        # warm convention so the static w_pm table below stays valid;
+        # lax.map (not vmap) because the fused kernel has no batching
+        # rule.  The lax.cond skips all of it when nothing failed — the
+        # dense-period MCMC hot path pays only the predicate.
+        chain_b = (lambda o: jax.vmap(jax.vmap(
+            _mode_chain, in_axes=1, out_axes=1))(o)) if nmodes > 1 \
+            else (lambda o: o)
+
+        def _rescue(carry):
+            c_lo, mm, ok = carry
+
+            def cold(t_b):
+                ci = jax.vmap(
+                    lambda h_, vs_, q_, n_, t_: _initial_c(
+                        h_, vs_, q_, n_, t_, wave, cfg)
+                )(h_eff, vs, qsinv, nlay, t_b)
+                st = jnp.broadcast_to(ci[None], (nmodes, B)).astype(dtype)
+                return bracket_period(t_b, st, cfg.nscan_first,
+                                      cfg.coarse, narrow=False)
+
+            lo_c, mm_c, ok_c = lax.map(cold, periods2[:, 1:].T)
+            ok_c = chain_b(ok_c)
+            use = ~ok[1:] & ok_c
+            ok_new = jnp.concatenate([ok[:1], chain_b(ok[1:] | ok_c)], 0)
+            return (jnp.concatenate(
+                        [c_lo[:1], jnp.where(use, lo_c, c_lo[1:])], 0),
+                    jnp.concatenate(
+                        [mm[:1], jnp.where(use, mm_c, mm[1:])], 0),
+                    ok_new)
+
+        c_lo, mm, ok = lax.cond(jnp.all(ok), lambda x: x, _rescue,
+                                (c_lo, mm, ok))
     else:
         c_lo, mm, ok = lo0[None], mm0[None], ok0[None]
 

@@ -63,6 +63,68 @@ def parse_kernels(test1, prefix, wtype, modes, periods, ncol):
     return out
 
 
+def parse_eigen(path, wt):
+    """Parse test.{R,L} eigenfunction sections (calcul_deep.f:254-393).
+
+    Per (mode, period) the main outfile carries:
+      'Rayleigh/Love mode N' header (N = mode+1, format 1005),
+      '@@@@' marker,
+      header row  T c u k a_rle [rat] Q_app   (7 cols R / 6 cols L),
+      energy-integral row  I0 I1 I2 [I3] flagr (5 R / 4 L),
+      V1 depth table rows  z v dv  (horizontal for R, transverse for L),
+      ['$$$$' marker + V2 depth table  z v dv  (vertical), R only].
+    Depth z is spherical; v, dv already carry the flattening
+    correction  v*(1-z/R0),  v' - v/R0  (KEY_FLAT branch, f:296).
+    """
+    out = {}
+    mode = -1
+    state = None
+    cur = None
+
+    def flush():
+        if cur is None or not cur["v1"]:
+            return
+        T = int(round(cur["T"]))
+        key = f"eig_{wt}_{mode}_{T}"
+        out[f"{key}_hdr"] = np.array(cur["hdr"])
+        out[f"{key}_int"] = np.array(cur["ints"])
+        out[f"{key}_v1"] = np.array(cur["v1"])
+        if cur["v2"]:
+            out[f"{key}_v2"] = np.array(cur["v2"])
+
+    with open(path) as f:
+        for line in f:
+            s = line.strip()
+            if "mode" in s:
+                flush()
+                cur = None
+                mode = int(s.split()[-1]) - 1
+                continue
+            if s.startswith("@"):
+                flush()
+                cur = {"hdr": None, "ints": None, "v1": [], "v2": [],
+                       "T": None}
+                state = "hdr"
+                continue
+            if s.startswith("$"):
+                state = "v2"
+                continue
+            parts = s.split()
+            if not parts or cur is None:
+                continue
+            vals = [float(x) for x in parts]
+            if state == "hdr":
+                cur["hdr"], cur["T"] = vals, vals[0]
+                state = "ints"
+            elif state == "ints":
+                cur["ints"] = vals
+                state = "v1"
+            else:
+                cur[state].append(vals[:3])
+    flush()
+    return out
+
+
 def main(test1=DEFAULT_TEST1):
     periods = list(range(10, 101, 10))
     model = parse_model(os.path.join(test1, "eus_model"))
@@ -88,6 +150,8 @@ def main(test1=DEFAULT_TEST1):
         for key, arr in parse_kernels(test1, "test.grv", wt, (0, 1),
                                       periods, ncol).items():
             data[f"kgrv_{key}"] = arr
+
+        data.update(parse_eigen(os.path.join(test1, f"test.{wt}"), wt))
 
     out = os.path.join(HERE, "test1.npz")
     np.savez_compressed(out, **data)

@@ -13,7 +13,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from pysurfinv_tpu.ops.dispersion import SurfConfig, surf_forward
+from pysurfinv_tpu.ops.dispersion import (SurfConfig, surf_forward,
+                                           surf_forward_batch)
 
 
 def _solve(eus_model, wave, nmodes=2):
@@ -108,3 +109,50 @@ def test_fundamental_tight(rayleigh, love, golden):
         refu = golden[f"grv_{wt}_0"][:, 1]
         assert np.abs(c[:, 0] - refc).max() / refc.max() < 1e-5
         assert np.abs(u[:, 0] - refu).max() / refu.max() < 5e-5
+
+
+@pytest.mark.quick
+def test_sparse_period_list_rescue(rayleigh, golden, eus_model):
+    """Sparse period lists must not fail (round-2 rescue pass).
+
+    The warm-start window covers nscan*dc of root motion per period
+    step; T = [10, 30, 60] moves the fundamental by ~0.66 km/s and
+    round-1 returned ok=False for T >= 30 (and, through `alive`, for
+    every later period).  The reference walks dc brackets indefinitely
+    (calcul.f:156-168) and cannot miss; the cold-start rescue pass
+    restores that behavior, and must not perturb dense-list results.
+    """
+    m = eus_model
+    args = (jnp.array(m["h"]), jnp.array(m["vp"]), jnp.array(m["vs"]),
+            jnp.array(m["rho"]), jnp.array(m["qsinv"]))
+    c_d, _, ok_d = surf_forward(*args, jnp.array(m["periods"]), m["nlay"],
+                                wave="rayleigh", cfg=SurfConfig(nmodes=1))
+    sparse = jnp.array([10.0, 30.0, 60.0])
+    c_s, _, ok_s = surf_forward(*args, sparse, m["nlay"],
+                                wave="rayleigh", cfg=SurfConfig(nmodes=1))
+    assert np.asarray(ok_s).all()
+    dense_c = np.asarray(c_d)[:, 0]
+    ii = [list(m["periods"]).index(t) for t in (10, 30, 60)]
+    # rescued lanes enter Illinois from a different bracket edge, so
+    # agreement is at the refinement tolerance, not bitwise
+    np.testing.assert_allclose(np.asarray(c_s)[:, 0], dense_c[ii],
+                               rtol=0, atol=3e-6)
+
+
+@pytest.mark.quick
+def test_sparse_period_list_rescue_batch_fast(eus_model):
+    """The fused-kernel batch path rescues sparse period lists too."""
+    m = eus_model
+    B = 3
+    tile = lambda x: jnp.asarray(np.tile(np.asarray(x)[None], (B, 1)))
+    args = (tile(m["h"]), tile(m["vp"]), tile(m["vs"]), tile(m["rho"]),
+            tile(m["qsinv"]))
+    nl = jnp.full((B,), m["nlay"], jnp.int32)
+    sparse = jnp.array([10.0, 30.0, 60.0])
+    kw = dict(nmodes=1, compute_group=False)
+    c_f, _, ok_f = surf_forward_batch(
+        *args, sparse, nl, cfg=SurfConfig(backend="pallas_interpret", **kw))
+    c_x, _, ok_x = surf_forward_batch(
+        *args, sparse, nl, cfg=SurfConfig(backend="xla", **kw))
+    assert np.asarray(ok_f).all() and np.asarray(ok_x).all()
+    np.testing.assert_allclose(np.asarray(c_f), np.asarray(c_x), atol=2e-6)
