@@ -112,35 +112,53 @@ def main():
         backend=os.environ.get("BENCH_BACKEND", "auto"),
         compute_group=os.environ.get("BENCH_GROUP", "1") == "1")
 
-    def run():
-        c, u, ok = surf_forward_batch(H, VP, VS, RHO, QSI, periods, NL,
-                                      wave="rayleigh", cfg=cfg)
-        return c, ok
+    def make_run(wave):
+        def run():
+            c, u, ok = surf_forward_batch(H, VP, VS, RHO, QSI, periods,
+                                          NL, wave=wave, cfg=cfg)
+            return c, ok
+        return run
 
-    # warmup / compile
-    c, ok = run()
-    c.block_until_ready()
-    frac_ok = float(np.asarray(ok[:, :, 0]).all(axis=1).mean())
-
-    # best of 3 timing windows: the tunnelled chip's effective clock
-    # drifts run-to-run by up to ~1.5x; the best window reflects the
-    # kernel's actual capability
-    n_iter = int(os.environ.get("BENCH_ITERS", 2))
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(n_iter):
-            c, ok = run()
+    def time_best(run):
+        """Best of 3 windows: the tunnelled chip's effective clock
+        drifts run-to-run by up to ~1.5x; the best window reflects the
+        kernel's actual capability."""
+        c, ok = run()   # warmup / compile
         c.block_until_ready()
-        best = min(best, (time.perf_counter() - t0) / n_iter)
+        frac_ok = float(np.asarray(ok[:, :, 0]).all(axis=1).mean())
+        n_iter = int(os.environ.get("BENCH_ITERS", 2))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(n_iter):
+                c, ok = run()
+            c.block_until_ready()
+            best = min(best, (time.perf_counter() - t0) / n_iter)
+        return best, frac_ok
 
-    solves_per_sec = B / best
+    run_r = make_run("rayleigh")
+    run_l = make_run("love")
+
+    def run_joint():  # BASELINE config 2: joint Rayleigh+Love forward
+        cr, okr = run_r()
+        cl, okl = run_l()
+        return cl, okr & okl
+
+    t_r, ok_r = time_best(run_r)
+    t_l, ok_l = time_best(run_l)
+    t_j, ok_j = time_best(run_joint)
+
+    solves_per_sec = B / t_r
     print(json.dumps({
         "metric": "rayleigh_dispersion_solves_per_sec_per_chip",
         "value": round(solves_per_sec, 1),
         "unit": "solves/s (18-period fundamental-mode curve, batch "
-                f"{B}, ok={frac_ok:.3f})",
+                f"{B}, ok={ok_r:.3f})",
         "vs_baseline": round(solves_per_sec / BASELINE_SOLVES_PER_SEC, 3),
+        "love_solves_per_sec": round(B / t_l, 1),
+        "love_ok": round(ok_l, 3),
+        "joint_rl_solves_per_sec": round(B / t_j, 1),
+        "joint_rl_ok": round(ok_j, 3),
     }))
 
 

@@ -73,7 +73,17 @@ def main():
     plt.savefig("example_out/vs_profile.png", dpi=120)
     post._check_history("misfit")
     plt.savefig("example_out/misfit_history.png", dpi=120)
-    print("wrote example_out/*.png")
+
+    # prior-vs-posterior QC (point.py:230-248): posterior histograms
+    # (filled) against the priori chain's (outline) at three depths —
+    # a posterior that just reproduces the prior means the data did not
+    # constrain that depth
+    plt.close("all")
+    post._check_distribution(zdeps=[20.0, 60.0, 120.0])
+    for i, z in enumerate((20, 60, 120)):
+        plt.figure(plt.get_fignums()[i])
+        plt.savefig(f"example_out_priori/hist_vs_at_{z}km.png", dpi=120)
+    print("wrote example_out/*.png + example_out_priori/*.png")
 
 
 if __name__ == "__main__":

@@ -88,9 +88,21 @@ class GeoMap(GeoGrid):
                 + (p0 + p3 - p1 - p2) * dx * dy / Dx / Dy)
 
     def smooth(self, tension=0.0, width=50.0):
-        """NaN-aware Gaussian smoothing with half-width ``width`` km."""
-        zNew = gaussian_smooth_nan(self.lons, self.lats, self.z[None],
-                                   width)[0]
+        """NaN-aware smoothing with half-width ``width`` km.
+
+        ``tension=0`` (the reference's default) uses the separable
+        Gaussian; ``tension>0`` uses the spline-in-tension spectral
+        filter (:func:`tension_spline_smooth`), the GMT ``surface``
+        analogue — both share the same half-power wavelength, and their
+        tension->0 deviation is quantified in
+        ``tests/test_geo.py::test_tension_smoothing_parity``.
+        """
+        if tension > 0:
+            zNew = tension_spline_smooth(self.lons, self.lats,
+                                         self.z[None], width, tension)[0]
+        else:
+            zNew = gaussian_smooth_nan(self.lons, self.lats, self.z[None],
+                                       width)[0]
         return GeoMap(self.lons, self.lats, zNew)
 
     def _lon_range_change_to(self, rng):
@@ -108,18 +120,10 @@ def _gauss_kernel(dx_km, width_km, nsig=3.0):
     return k / k.sum()
 
 
-def gaussian_smooth_nan(lons, lats, fields, width_km):
-    """Batched NaN-aware separable Gaussian smoothing on device.
-
-    Args:
-      lons, lats: 1-D grid coordinates (degrees).
-      fields: (B, nlat, nlon) stack of maps (NaN = missing).
-      width_km: smoothing width in km (like GeoMap.smooth(width=...)).
-
-    Returns (B, nlat, nlon) with NaNs restored where inputs were NaN.
-    Normalized convolution handles missing data; the lon kernel uses the
-    metric at the mean latitude (adequate for regional grids).
-    """
+def _gaussian_smooth_core(lons, lats, fields, width_km):
+    """Normalized-convolution Gaussian smooth; values EVERYWHERE (no
+    NaN restore) — NaN cells get their Gaussian-weighted neighborhood
+    mean, which is also how the tension filter infills."""
     import jax
     import jax.numpy as jnp
 
@@ -148,14 +152,114 @@ def gaussian_smooth_nan(lons, lats, fields, width_km):
 
     num = conv1(conv1(z0 * w0, k_lat, 1), k_lon, 2)
     den = conv1(conv1(w0, k_lat, 1), k_lon, 2)
-    sm = num / jnp.maximum(den, 1e-12)
-    sm = jnp.where(good, sm, jnp.nan)
-    return np.array(sm)  # writable host copy
+    return np.array(num / jnp.maximum(den, 1e-12))
+
+
+def gaussian_smooth_nan(lons, lats, fields, width_km):
+    """Batched NaN-aware separable Gaussian smoothing on device.
+
+    Args:
+      lons, lats: 1-D grid coordinates (degrees).
+      fields: (B, nlat, nlon) stack of maps (NaN = missing).
+      width_km: smoothing width in km (like GeoMap.smooth(width=...)).
+
+    Returns (B, nlat, nlon) with NaNs restored where inputs were NaN.
+    Normalized convolution handles missing data; the lon kernel uses the
+    metric at the mean latitude (adequate for regional grids).
+    """
+    fields = np.asarray(fields, dtype=float)
+    sm = _gaussian_smooth_core(lons, lats, fields, width_km)
+    sm[~np.isfinite(fields)] = np.nan
+    return sm
+
+
+def tension_spline_smooth(lons, lats, fields, width_km, tension=0.25):
+    """Spline-in-tension low-pass smoothing — the GMT ``surface`` family.
+
+    GMT's ``surface`` grids data by solving the spline-in-tension PDE
+    ``(1-T) L(L z) - T L z = 0`` (Smith & Wessel, Geophysics 1990,
+    ``-T`` flag).  The smoothing analogue on an already-complete grid is
+    Tikhonov regularisation with the same operator,
+
+        min  ||z - z0||^2 + lam [ (1-T) ||Lap z||^2 + T ||grad z||^2 ]
+
+    whose normal equations diagonalise in the DCT-II basis (Neumann
+    boundaries, matching ``surface``'s natural-spline edges):
+
+        H(k) = 1 / (1 + lam ((1-T) |k|^4 + T |k|^2)).
+
+    ``lam`` is chosen so the half-power wavenumber equals the Gaussian
+    smoother's (sigma = width/2 -> k_c = sqrt(2 ln 2) / sigma), so the
+    two smoothers are directly comparable at any tension; their
+    measured deviation is documented in
+    ``tests/test_geo.py::test_tension_smoothing_parity``.  T -> 1
+    weakens the k^4 (biharmonic) term toward a harmonic membrane,
+    which is exactly GMT's "suppress spline overshoot" control.
+
+    NaNs are infilled by normalized Gaussian convolution before the
+    spectral filter and restored afterwards.
+
+    Args/returns as :func:`gaussian_smooth_nan`, plus ``tension`` in
+    [0, 1).
+    """
+    import jax.numpy as jnp
+    from jax.scipy.fft import dctn, idctn
+
+    fields = np.asarray(fields, dtype=float)
+    good = np.isfinite(fields)
+    # infill missing values so the spectral filter sees a complete grid
+    filled = np.where(good, fields,
+                      gaussian_smooth_nan_fill(lons, lats, fields,
+                                               width_km))
+    filled = np.where(np.isfinite(filled), filled,
+                      np.nanmean(fields, axis=(1, 2), keepdims=True))
+
+    dlat_km = abs(lats[1] - lats[0]) * DEG2KM
+    dlon_km = (abs(lons[1] - lons[0]) * DEG2KM
+               * np.cos(np.deg2rad(np.mean(lats))))
+    B, ny, nx = filled.shape
+    ky = np.pi * np.arange(ny) / (ny * dlat_km)
+    kx = np.pi * np.arange(nx) / (nx * dlon_km)
+    k2 = ky[:, None] ** 2 + kx[None, :] ** 2
+    sigma = max(width_km / 2.0, 1e-6)
+    kc2 = 2.0 * np.log(2.0) / sigma**2          # Gaussian half-power
+    T = float(np.clip(tension, 0.0, 0.999))
+    lam = 1.0 / ((1.0 - T) * kc2**2 + T * kc2)
+    Hf = jnp.asarray(1.0 / (1.0 + lam * ((1.0 - T) * k2**2 + T * k2)))
+
+    z = jnp.asarray(filled)
+    coef = dctn(z, type=2, axes=(1, 2), norm="ortho")
+    sm = idctn(coef * Hf[None], type=2, axes=(1, 2), norm="ortho")
+    out = np.array(sm)
+    out[~good] = np.nan
+    return out
+
+
+def gaussian_smooth_nan_fill(lons, lats, fields, width_km):
+    """Gaussian-weighted infill values (normalized conv without the
+    final NaN restore) — used to seed the spectral tension filter."""
+    import jax.numpy as jnp
+
+    z = np.asarray(fields, dtype=float)
+    # reuse gaussian_smooth_nan's machinery but keep values everywhere
+    good = np.isfinite(z)
+    sm = _gaussian_smooth_core(lons, lats, z, width_km)
+    return np.where(good, z, sm)
 
 
 def mapSmooth(lons, lats, z, tension=0.0, width=50.0):
-    """Drop-in for the reference's mapSmooth (model3D.py:11-14)."""
-    zNew = gaussian_smooth_nan(lons, lats, np.asarray(z)[None], width)[0]
+    """Drop-in for the reference's mapSmooth (model3D.py:11-14).
+
+    ``tension=0`` (the reference's call signature default) routes to
+    the Gaussian smoother; ``tension>0`` to the spline-in-tension
+    spectral filter.
+    """
+    if tension > 0:
+        zNew = tension_spline_smooth(lons, lats, np.asarray(z)[None],
+                                     width, tension)[0]
+    else:
+        zNew = gaussian_smooth_nan(lons, lats, np.asarray(z)[None],
+                                   width)[0]
     zNew[np.isnan(z)] = np.nan
     return zNew
 

