@@ -285,118 +285,218 @@ class Model3D(GeoGrid):
         return ax
 
     # ---- sections ------------------------------------------------------------
+    # Output contracts (sample counts, zoom/ySep constants, colors)
+    # follow the reference (model3D.py:271-371) so figures stay
+    # directly comparable; the rendering code is this package's own.
+
+    N_SECT = 301  # great-circle sample count (model3D.py:273)
+
+    def _section_track(self, lon1, lat1, lon2, lat2):
+        """(lat, lon) sample points along the connecting great circle."""
+        geo = gc_inverse(lat1, lon1, lat2, lon2)
+        dists = np.linspace(0.0, geo["s12"], self.N_SECT)
+        pts = [gc_direct(lat1, lon1, geo["azi1"], d) for d in dists]
+        return dists / 1000.0, [(p["lat2"], p["lon2"]) for p in pts]
+
+    def _section_xaxis(self, x_km, lon1, lat1, lon2, lat2, xtype):
+        """Distance axis, or lat/lon when the section is a meridian /
+        parallel (model3D.py:283-287)."""
+        if xtype == "lat" or (xtype == "auto" and abs(lon1 - lon2) < 0.01):
+            return np.linspace(lat1, lat2, self.N_SECT)
+        if xtype == "lon" or (xtype == "auto" and abs(lat1 - lat2) < 0.01):
+            return np.linspace(lon1, lon2, self.N_SECT)
+        return x_km
+
     def section(self, lon1, lat1, lon2, lat2,
                 y=np.linspace(0, 200 - 0.01, 201), xtype="auto"):
-        geo = gc_inverse(lat1, lon1, lat2, lon2)
-        x = np.linspace(0, geo["s12"], 301) / 1000
-        z = np.zeros((len(y), len(x)))
-        moho = np.zeros(len(x))
-        topo = np.zeros(len(x))
-        for i, d in enumerate(x * 1000):
-            p = gc_direct(lat1, lon1, geo["azi1"], d)
-            z[:, i] = self.vsProfile(y, p["lat2"], p["lon2"])
-            moho[i] = self.moho(p["lat2"], p["lon2"])
-            topo[i] = self.topo(p["lat2"], p["lon2"])
-        z = np.ma.masked_array(z, np.isnan(z))
-        if xtype == "lat" or (xtype == "auto" and abs(lon1 - lon2) < 0.01):
-            x = np.linspace(lat1, lat2, 301)
-        elif xtype == "lon" or (xtype == "auto" and abs(lat1 - lat2) < 0.01):
-            x = np.linspace(lon1, lon2, 301)
+        """Vs(depth, distance) plus moho/topo tracks along a geodesic."""
+        y = np.asarray(y, dtype=float)
+        x_km, track = self._section_track(lon1, lat1, lon2, lat2)
+        cols = [self.vsProfile(y, la, lo) for la, lo in track]
+        z = np.ma.masked_invalid(np.column_stack(cols))
+        moho = np.array([self.moho(la, lo) for la, lo in track])
+        topo = np.array([self.topo(la, lo) for la, lo in track])
+        x = self._section_xaxis(x_km, lon1, lat1, lon2, lat2, xtype)
         XX, YY = np.meshgrid(x, y)
         return XX, YY, z, moho, topo
 
+    def _depth_average(self, ydeps):
+        """Lateral-mean Vs at each depth, cached — the 1-D reference
+        profile for relative sections (model3D.py:294-300; like the
+        reference, averaging is by depth, which blurs near group
+        interfaces)."""
+        if getattr(self, "_zAvg", None) is None or \
+                not np.array_equal(self._zAvg[0], ydeps):
+            avg = np.array([self.genVsMap(d).zMasked.mean()
+                            for d in ydeps])
+            self._zAvg = (np.asarray(ydeps).copy(), avg)
+        return self._zAvg[1]
+
     def section_rel(self, lon1, lat1, lon2, lat2,
                     y=np.linspace(0, 200 - 0.01, 201), xtype="auto"):
+        """Section as % anomaly about the lateral depth-average."""
         XX, YY, z, moho, topo = self.section(lon1, lat1, lon2, lat2, y,
                                              xtype)
-        if not hasattr(self, "_zAvg"):
-            self._zAvg = np.array([self.genVsMap(dep).zMasked.mean()
-                                   for dep in YY[:, 0]])
-        zAvg2D = np.repeat(self._zAvg.reshape((-1, 1)), z.shape[1], axis=1)
-        return XX, YY, (z - zAvg2D) / zAvg2D * 100, moho, topo
+        ref = self._depth_average(YY[:, 0])[:, None]
+        return XX, YY, (z - ref) / ref * 100.0, moho, topo
 
-    def plotSection(self, lon1, lat1, lon2, lat2, ax=None, maxD=200,
-                    rel=False, figsize=(12, 5)):
-        """Two-band crust/mantle section with zoomed top (model3D.py:301)."""
+    # -- plotSection helpers -------------------------------------------------
+    @staticmethod
+    def _zoom_y(values, ySep, zoom):
+        """Depth -> display-y with the top ``ySep`` km stretched
+        ``zoom``x (the reference's calYZoom, model3D.py:314-318)."""
+        v = np.asarray(values, dtype=float).copy()
+        shallow = v < ySep
+        v[shallow] *= zoom
+        v[~shallow] += ySep * (zoom - 1)
+        return v
+
+    @staticmethod
+    def _below_caxes(ax, size=0.03, pad=0.13):
+        """A horizontal colorbar axes appended below ``ax`` (the
+        Triforce addCAxes role)."""
+        box = ax.get_position()
+        return ax.figure.add_axes(
+            [box.x0, box.y0 - pad * box.height,
+             box.width, size * box.height])
+
+    def plotSection(self, lon1, lat1, lon2, lat2, ax=None, cmap=None,
+                    maxD=200, label=None, rel=False, trueAspect=False,
+                    cax=True, decorateFuns=(), figsize=(12, 5)):
+        """Two-band crust/mantle section with a 3x-zoomed top 15 km.
+
+        Full reference feature set (model3D.py:301-371): separate
+        crust/mantle color scales, bathymetry fill, double-stroked
+        moho, zoom separator + relabeled depth ticks, optional
+        ``label`` endpoint tags, ``decorateFuns`` overlay hooks,
+        ``trueAspect`` distance-true axes, and the two colorbars.
+        Deviations (documented): ``cmap`` is honored for every band
+        (the reference ignores its cmap argument in favor of the
+        Triforce ``cvcpt`` palette, which is not in its repo), and in
+        ``rel`` mode the zoomed top band uses the relative limits (the
+        reference leaves absolute 4.0-4.5 hardcoded there).
+        """
         import matplotlib.pyplot as plt
+
         ySep, zoom = 15, 3
         vLimC = [-5, 5] if rel else [3.0, 4.0]
         vLimM = [-5, 5] if rel else [4.0, 4.5]
-        y = np.zeros(300)
-        y[:100] = np.linspace(0, ySep, 100)
-        y[100:] = np.linspace(ySep, maxD - 0.01, 200)
-        fn = self.section_rel if rel else self.section
-        XX, YY, Z, moho, topo = fn(lon1, lat1, lon2, lat2, y=y)
+        # dense top band for the zoomed panel (model3D.py:310)
+        y = np.concatenate([np.linspace(0, ySep, 100),
+                            np.linspace(ySep, maxD - 0.01, 200)])
+        profile = self.section_rel if rel else self.section
+        XX, YY, Z, moho, topo = profile(lon1, lat1, lon2, lat2, y=y)
 
-        def calYZoom(yIn):
-            yOut = yIn.copy()
-            yOut[yIn < ySep] *= zoom
-            yOut[yIn >= ySep] += ySep * (zoom - 1)
-            return yOut
+        top = y < ySep
+        y_moho = self._zoom_y(moho, ySep, zoom)
+        y_topo = self._zoom_y(-topo, ySep, zoom)
+        crust_only = np.ma.masked_where(YY > moho[None, :], Z)
 
-        isTop = y < ySep
-        YY_top, YY_bot = YY * zoom, YY + ySep * (zoom - 1)
-        Y_moho, Y_topo = calYZoom(moho), calYZoom(-topo)
-        Z_crust = np.ma.masked_array(
-            Z, mask=(YY > np.tile(moho, (YY.shape[0], 1))))
-        if ax:
-            plt.sca(ax)
-        else:
-            plt.figure(figsize=figsize)
-            ax = plt.gca()
-        imM = plt.pcolormesh(XX, YY_bot, Z, shading="gouraud",
-                             vmin=vLimM[0], vmax=vLimM[1], rasterized=True)
-        plt.pcolormesh(XX[isTop, :], YY_top[isTop, :], Z[isTop, :],
-                       shading="gouraud", vmin=vLimM[0], vmax=vLimM[1],
-                       rasterized=True)
-        imC = plt.pcolormesh(XX, YY_top, Z_crust, shading="gouraud",
-                             vmin=vLimC[0], vmax=vLimC[1], rasterized=True)
-        plt.fill_between(XX[0, :], 0, Y_topo, facecolor="#d4f1f9")
-        plt.plot(XX[0, :], Y_moho, "k", lw=4)
-        plt.plot(XX[0, :], Y_moho, "r", lw=2)
-        plt.ylim(0, maxD + (zoom - 1) * ySep)
-        plt.gca().invert_yaxis()
+        if ax is None:
+            fig = plt.figure(figsize=figsize)
+            ax = fig.add_axes([0.05, 0.2, 0.9, 0.75])
+        mesh = dict(shading="gouraud", cmap=cmap, rasterized=True)
+        # mantle band in un-zoomed coordinates shifted below the zoom,
+        # then the zoomed top (mantle scale), then crust masked to moho
+        imM = ax.pcolormesh(XX, YY + ySep * (zoom - 1), Z,
+                            vmin=vLimM[0], vmax=vLimM[1], **mesh)
+        ax.pcolormesh(XX[top, :], (YY * zoom)[top, :], Z[top, :],
+                      vmin=vLimM[0], vmax=vLimM[1], **mesh)
+        imC = ax.pcolormesh(XX, YY * zoom, crust_only,
+                            vmin=vLimC[0], vmax=vLimC[1], **mesh)
+        ax.fill_between(XX[0, :], 0, y_topo, facecolor="#d4f1f9")
+        ax.plot(XX[0, :], y_moho, "k", lw=4)
+        ax.plot(XX[0, :], y_moho, "r", lw=2)
+        ax.set_ylim(0, maxD + (zoom - 1) * ySep)
+        ax.invert_yaxis()
+
+        if zoom != 1:
+            # true-depth tick labels at zoomed positions + a stroked
+            # separator marking the zoom boundary (model3D.py:340-346)
+            import matplotlib.patheffects as pe
+            ticks = np.unique(np.r_[np.arange(0, maxD + 10, 50),
+                                    ySep, maxD]).astype(float)
+            ax.set_yticks(self._zoom_y(ticks, ySep, zoom))
+            ax.set_yticklabels([f"{t:g}" for t in ticks])
+            ax.plot(ax.get_xlim(), [ySep * zoom] * 2, "--", color="w",
+                    lw=2, path_effects=[
+                        pe.Stroke(linewidth=3, foreground="k"),
+                        pe.Normal()])
+
+        for decorate in decorateFuns:
+            decorate(lon1, lat1, lon2, lat2)
+
+        if label is not None:
+            x0, x1 = ax.get_xlim()
+            _, y1 = ax.get_ylim()
+            for xx, tag in ((x0, label[0]), (x1, label[1])):
+                ax.text(xx, y1, tag, va="bottom", ha="center",
+                        fontweight="bold", fontsize=20, clip_on=False,
+                        zorder=100)
+
+        if trueAspect:
+            # horizontal extent scaled so km-per-inch matches vertical
+            dist_km = gc_inverse(lat1, lon1, lat2, lon2)["s12"] / 1000
+            fig = ax.figure
+            h_in = ax.get_position().height * fig.get_figheight()
+            w_frac = (dist_km / (maxD + ySep * (zoom - 1)) * h_in
+                      / fig.get_figwidth())
+            box = ax.get_position()
+            ax.set_position([box.x0, box.y0, w_frac, box.height])
+
+        if cax:
+            plt.colorbar(imC, cax=self._below_caxes(ax, pad=0.13),
+                         orientation="horizontal")
+            plt.colorbar(imM, cax=self._below_caxes(ax, pad=0.25),
+                         orientation="horizontal")
         return imC, imM
 
     # ---- QC products ----------------------------------------------------------
-    def checkPhaseVelocity(self, pers="all", savefig=False):
-        """Observed vs predicted phase-velocity maps (model3D.py:374-441).
+    def _period_maps(self, per):
+        """Observed/predicted/uncertainty maps for one period; points
+        whose observation list lacks the period are masked."""
+        shape = (len(self.lats), len(self.lons))
+        fields = {k: np.full(shape, np.nan) for k in
+                  ("pvelo", "pvelp", "uncer")}
+        for i, row in enumerate(self.disps):
+            for j, disp in enumerate(row):
+                if disp is None:
+                    continue
+                match = np.flatnonzero(np.asarray(disp["T"]) == per)
+                if match.size == 0:
+                    continue
+                k = int(match[0])
+                fields["pvelo"][i, j] = disp["pvelo"][k]
+                fields["pvelp"][i, j] = disp["pvelp"][k]
+                fields["uncer"][i, j] = disp["uncer"][k]
+        return {k: np.ma.masked_invalid(v) for k, v in fields.items()}
 
-        Returns {period: {'pvelo', 'pvelp', 'resid_norm'}} masked maps.
+    def checkPhaseVelocity(self, pers="all", savefig=False):
+        """Observed vs predicted phase-velocity QC maps per period
+        (capability of model3D.py:374-441).
+
+        Returns {period: {'pvelo', 'pvelp', 'resid_norm'}} where
+        resid_norm = (predicted - observed) / uncertainty — the
+        "misfit in sigmas" map the reference plots.
         """
         import matplotlib.pyplot as plt
-        disps_flat = [d for row in self.disps for d in row if d is not None]
         if pers == "all":
-            pers = sorted({t for d in disps_flat for t in list(d["T"])})
+            pers = sorted({t for row in self.disps for d in row
+                           if d is not None for t in list(d["T"])})
         out = {}
-        m, n = len(self.lats), len(self.lons)
         for per in pers:
-            pvelo = np.ma.masked_array(np.zeros((m, n)), mask=self.mask)
-            pvelp = np.ma.masked_array(np.zeros((m, n)), mask=self.mask)
-            uncer = np.ma.masked_array(np.ones((m, n)), mask=self.mask)
-            for i in range(m):
-                for j in range(n):
-                    if self.mask[i, j]:
-                        continue
-                    disp = self.disps[i][j]
-                    Ts = list(disp["T"])
-                    if per not in Ts:
-                        pvelo.mask[i, j] = True
-                        pvelp.mask[i, j] = True
-                        continue
-                    ind = Ts.index(per)
-                    pvelo[i, j] = disp["pvelo"][ind]
-                    pvelp[i, j] = disp["pvelp"][ind]
-                    uncer[i, j] = disp["uncer"][ind]
-            out[per] = {"pvelo": pvelo, "pvelp": pvelp,
-                        "resid_norm": (pvelp - pvelo) / uncer}
+            maps = self._period_maps(per)
+            out[per] = {
+                "pvelo": maps["pvelo"], "pvelp": maps["pvelp"],
+                "resid_norm": (maps["pvelp"] - maps["pvelo"])
+                / maps["uncer"]}
             if savefig:
                 fig, axes = plt.subplots(1, 3, figsize=[12, 4.8])
-                for ax, (name, fld) in zip(axes, out[per].items()):
-                    im = ax.pcolormesh(self.XX, self.YY, fld,
-                                       shading="gouraud")
-                    plt.colorbar(im, ax=ax, orientation="horizontal")
-                    ax.set_title(f"{name} T={int(per):02d}s")
-                plt.savefig(f"PhaseVel-{int(per):02d}s.png")
-                plt.close()
+                for axis, (name, field) in zip(axes, out[per].items()):
+                    im = axis.pcolormesh(self.XX, self.YY, field,
+                                         shading="gouraud")
+                    fig.colorbar(im, ax=axis, orientation="horizontal")
+                    axis.set_title(f"{name} T={int(per):02d}s")
+                fig.savefig(f"PhaseVel-{int(per):02d}s.png")
+                plt.close(fig)
         return out

@@ -50,50 +50,59 @@ class Point:
         chiSqr = _soft_cap(chiSqr)
         return misfit, chiSqr, np.exp(-0.5 * chiSqr)
 
-    # ---- host-sequential reference MCMC (point.py:32-89) ----------------
+    # ---- host-sequential oracle MCMC (semantics of point.py:32-89) ------
     def MCinv(self, outdir="MCtest", pid=None, runN=50000, chainL=1000,
               init=True, seed=None, verbose=False, priori=False,
               isgood=None):
-        def accept(chiSqr0, chiSqr1):
-            if chiSqr1 < chiSqr0:
-                return True
-            return random.random() > 1 - np.exp(-(chiSqr1 - chiSqr0) / 2)
+        """Sequential Metropolis sampler on host model objects.
 
-        if isgood is None:
-            isgood = lambda m: m.isgood()  # noqa: E731
+        Kept as the cross-validation oracle for the compiled device
+        chains: one ``runN``-step run, restarted from a fresh uniform
+        draw every ``chainL`` steps (the first segment starts from
+        ``initMod``), recording a row for EVERY proposal with the
+        accept flag in column 2 — the npz chain format.  The Metropolis
+        rule, restart policy, and RNG call order follow the reference
+        (``point.py:32-89``) so archived chains reproduce.
+        """
+        prior_ok = isgood if isgood is not None else (lambda m: m.isgood())
         random.seed(seed)
-        pid = self.pid if pid is None else pid
-        timeStamp = time.time()
-        mcTrack = [0] * runN
-        mod0 = mod1 = None
-        for i in range(runN):
-            if i % chainL == 0:
-                if init:
-                    mod0 = self.initMod.copy()
-                    init = False
-                    if not isgood(mod0):
-                        mod0 = mod0.perturb(isgood)
-                else:
-                    mod0 = self.initMod.reset()
+        pid = pid if pid is not None else self.pid
+        t_start = time.time()
+        rows = [0] * runN
+        current = proposal = None
+        cur_chi = None
+        for step in range(runN):
+            if step % chainL == 0:
+                if init:   # first segment only: start from initMod
+                    init, current = False, self.initMod.copy()
+                    if not prior_ok(current):
+                        current = current.perturb(prior_ok)
+                else:      # later segments: uniform re-draw
+                    current = self.initMod.reset()
                     if verbose is True:
-                        print(f"{i + 1}/{runN} Time cost:"
-                              f"{time.time() - timeStamp:.2f} ")
-                misfit0, chiSqr0, L0 = self.misfit(mod0)
-                mod0._dump(i, mcTrack, [misfit0, L0, 1])
-            else:
-                mod1 = mod0.perturb(isgood)
-                if priori:
-                    mod1._dump(i, mcTrack, [0, 1, 1])
-                    mod0 = mod1
-                    continue
-                misfit1, chiSqr1, L1 = self.misfit(mod1)
-                if accept(chiSqr0, chiSqr1):
-                    mod1._dump(i, mcTrack, [misfit1, L1, 1])
-                    mod0, misfit0, chiSqr0, L0 = mod1, misfit1, chiSqr1, L1
-                else:
-                    mod1._dump(i, mcTrack, [misfit1, L1, 0])
-        self._save_npz(outdir, pid, np.array(mcTrack), chainL)
-        return mod1
+                        print(f"{step + 1}/{runN} Time cost:"
+                              f"{time.time() - t_start:.2f} ")
+                cur_misfit, cur_chi, cur_L = self.misfit(current)
+                current._dump(step, rows, [cur_misfit, cur_L, 1])
+                continue
+            proposal = current.perturb(prior_ok)
+            if priori:
+                proposal._dump(step, rows, [0, 1, 1])
+                current = proposal
+                continue
+            new_misfit, new_chi, new_L = self.misfit(proposal)
+            # Metropolis on the soft-capped chi^2; the uniform draw is
+            # only consumed on non-improving proposals (short-circuit),
+            # preserving the reference's RNG stream
+            take = (new_chi < cur_chi
+                    or random.random() > 1 - np.exp(-(new_chi - cur_chi)
+                                                    / 2))
+            proposal._dump(step, rows, [new_misfit, new_L, int(take)])
+            if take:
+                current = proposal
+                cur_chi = new_chi
+        self._save_npz(outdir, pid, np.array(rows), chainL)
+        return proposal
 
     # ---- vmapped on-device MCMC (replaces mp.Pool, point.py:90-125) -----
     def MCinvMP(self, outdir="MCtest", pid=None, runN=50000, chainL=1000,
@@ -420,7 +429,18 @@ class PostPoint(Point):
                                 float)
             try:
                 return self._batched_values(np.asarray(zdeps, float), thetas)
-            except Exception:  # exotic custom layers: host fallback
+            except Exception as e:  # noqa: BLE001
+                # Custom layer classes outside the compiled catalog are
+                # legitimate here (the reference allows arbitrary
+                # layerClassCustom) — but a failure must be LOUD, or a
+                # compiled-model regression hides behind the slow host
+                # loop forever (advisor r1).
+                import warnings
+                warnings.warn(
+                    "PostPoint batched evaluation failed "
+                    f"({type(e).__name__}: {e}); using the slow host "
+                    "loop. If this model family compiled before, this "
+                    "is a regression.", RuntimeWarning, stacklevel=2)
                 vals = [mod.value(zdeps) for mod in
                         self._model_generator(indSteps, priori=priori)]
                 return np.array(vals).T
@@ -462,54 +482,138 @@ class PostPoint(Point):
                 for i in range(0, len(thetas), chunk)]
         return np.concatenate(outs, axis=0).T
 
-    # ---- plots (point.py:177-304) ---------------------------------------
-    def plotDisp(self, ax=None, ensemble=True):
-        import matplotlib.pyplot as plt
-        T, vel, uncer = self.obs["T"], self.obs["c"], self.obs["uncer"]
-        if ax is None:
-            plt.figure()
-        else:
-            plt.axes(ax)
-        if ensemble:
-            picks = random.choices(np.where(self.accFinal)[0],
-                                   k=min(500, int(self.accFinal.sum())))
-            for mod in self._model_generator(picks):
-                plt.plot(T, mod.forward(T), color="grey", lw=0.1, alpha=0.2)
-        plt.errorbar(T, vel, uncer, ls="None", color="k", capsize=3,
-                     capthick=2, elinewidth=2, label="Observation")
-        plt.plot(T, self.initMod.forward(T), label="Initial")
-        plt.plot(T, self.avgMod.forward(T), label="Avg accepted")
-        plt.plot(T, self.minMod.forward(T), label="Min misfit")
-        plt.legend()
-        plt.title("Dispersion")
-        return plt.gcf(), plt.gca()
+    # ---- plots (capabilities of point.py:177-304; own rendering) --------
+    # Styling constants (grey lw=0.1 alpha=0.2 ensembles, the Vs xlim
+    # windows, errorbar caps) are kept identical to the reference so
+    # figures remain directly comparable with published ones.
 
-    def plotVsProfileGrid(self, allAccepted=False, ax=None):
+    def _sample_accepted(self, k):
+        """Up to k randomly drawn accepted-model indices (with
+        replacement, like the reference's random.choices)."""
+        pool = np.flatnonzero(self.accFinal)
+        if len(pool) == 0:
+            return np.array([], dtype=int)
+        return np.asarray(random.choices(pool,
+                                         k=min(k, int(len(pool)))))
+
+    def _ensemble_models(self, k):
+        for mod in self._model_generator(self._sample_accepted(k)):
+            yield mod
+
+    _SUMMARY_MODS = (("initMod", "Initial"), ("avgMod", "Avg"),
+                     ("minMod", "Min"))
+
+    def plotDisp(self, ax=None, ensemble=True):
+        """Observed dispersion (error bars) vs initial/avg/min-misfit
+        predictions, over a grey accepted-ensemble cloud."""
         import matplotlib.pyplot as plt
-        ax = self.initMod.plotProfileGrid(label="Initial", ax=ax)
-        k = self.N if allAccepted else 2000
-        picks = random.choices(np.where(self.accFinal)[0],
-                               k=min(k, int(self.accFinal.sum())))
-        for mod in self._model_generator(picks):
-            mod.plotProfileGrid(ax=ax, color="grey", lw=0.1, alpha=0.2)
-        self.avgMod.plotProfileGrid(label="Avg", ax=ax)
-        self.minMod.plotProfileGrid(label="Min", ax=ax)
-        plt.xlim(3.0, 4.8)
-        plt.legend()
+        T = np.asarray(self.obs["T"], dtype=float)
+        if ax is None:
+            ax = plt.figure().gca()
+        if ensemble:
+            cloud = np.array([m.forward(T)
+                              for m in self._ensemble_models(500)])
+            if len(cloud):
+                ax.plot(T, cloud.T, color="grey", lw=0.1, alpha=0.2)
+        ax.errorbar(T, self.obs["c"], self.obs["uncer"], ls="None",
+                    color="k", capsize=3, capthick=2, elinewidth=2,
+                    label="Observation")
+        ax.plot(T, self.initMod.forward(T), label="Initial")
+        ax.plot(T, self.avgMod.forward(T), label="Avg accepted")
+        ax.plot(T, self.minMod.forward(T), label="Min misfit")
+        ax.legend()
+        ax.set_title("Dispersion")
+        return ax.figure, ax
+
+    def _plot_vs_ensemble(self, drawer, k, xlim, ax=None, cloud=None):
+        """Shared scaffold for the Vs-profile plots: initial model,
+        grey ensemble, then avg/min overlays.  ``cloud(ax, k) -> bool``
+        may draw the whole ensemble in one batched call; the host
+        per-model loop is the fallback."""
+        import matplotlib.pyplot as plt
+        ax = drawer(self.initMod, label="Initial", ax=ax)
+        if cloud is None or not cloud(ax, k):
+            for mod in self._ensemble_models(k):
+                drawer(mod, ax=ax, color="grey", lw=0.1, alpha=0.2)
+        drawer(self.avgMod, label="Avg", ax=ax)
+        drawer(self.minMod, label="Min", ax=ax)
+        ax.set_xlim(*xlim)
+        ax.legend()
+        plt.sca(ax)
         return ax
 
+    def _grid_ensemble_cloud(self, ax, k):
+        """Draw the k-member fine-grid ensemble as ONE LineCollection,
+        with every (z(theta), vs(theta)) grid built by a single vmapped
+        compiled-model call — seconds instead of the reference's
+        minutes of per-model object rebuilds.  Returns False when the
+        model family does not compile (host loop takes over)."""
+        picks = self._sample_accepted(k)
+        if len(picks) == 0:
+            return True
+        try:
+            import jax
+            import jax.numpy as jnp
+            from matplotlib.collections import LineCollection
+            from pysurfinv_tpu.inversion.compiled import CompiledModel
+
+            if getattr(self, "_cm_post", None) is None:
+                self._cm_post = CompiledModel(self.initMod)
+            cm = self._cm_post
+            n = cm._n_nodes_main
+
+            @jax.jit
+            def grids(ths):
+                def one(t):
+                    z, vs, *_ = cm.build_grids(t)
+                    return z[:n], vs[:n]
+                return jax.vmap(one)(ths)
+
+            zs, vss = map(np.asarray, grids(
+                jnp.asarray(np.asarray(self.MCparas[picks], float))))
+        except Exception as e:  # noqa: BLE001 — same policy as _loadValues
+            import warnings
+            warnings.warn(
+                f"batched ensemble drawing failed ({type(e).__name__}: "
+                f"{e}); using the slow host loop.", RuntimeWarning,
+                stacklevel=2)
+            return False
+        segs = [np.column_stack([v, z]) for z, v in zip(zs, vss)]
+        ax.add_collection(LineCollection(segs, colors="grey",
+                                         linewidths=0.1, alpha=0.2))
+        return True
+
+    def plotVsProfile(self, allAccepted=False):
+        """Layered (staircase) Vs-profile ensemble (point.py:196-205)."""
+        def layered(mod, ax=None, **kw):
+            return mod.plotProfile(ax=ax, **kw)
+        return self._plot_vs_ensemble(layered,
+                                      self.N if allAccepted else 2000,
+                                      xlim=(3.8, 4.8))
+
+    def plotVsProfileGrid(self, allAccepted=False, ax=None):
+        """Fine-grid Vs-profile ensemble (point.py:206-215); the grey
+        cloud renders via one batched compiled-model call."""
+        def gridded(mod, ax=None, **kw):
+            return mod.plotProfileGrid(ax=ax, **kw)
+        return self._plot_vs_ensemble(gridded,
+                                      self.N if allAccepted else 2000,
+                                      xlim=(3.0, 4.8), ax=ax,
+                                      cloud=self._grid_ensemble_cloud)
+
     def plotVsProfileShaded(self):
+        """Avg model with a +-1 sigma posterior band (point.py:216-228)."""
         import matplotlib.pyplot as plt
         zdeps = np.linspace(0, 200, 200)
-        std = self._loadValues(zdeps=zdeps).std(axis=1)
+        spread = self._loadValues(zdeps=zdeps).std(axis=1)
+        center = self.avgMod.value(zdeps)
         ax = self.initMod.plotProfileGrid(label="Initial", alpha=0.2)
-        plt.axes(ax)
-        avgProfile = self.avgMod.value(zdeps)
-        plt.fill_betweenx(zdeps, avgProfile + std, avgProfile - std,
-                          facecolor="grey", alpha=0.6)
+        ax.fill_betweenx(zdeps, center + spread, center - spread,
+                         facecolor="grey", alpha=0.6)
         self.avgMod.plotProfileGrid(ax=ax, label="Avg")
-        plt.xlim(3.0, 4.8)
-        plt.legend()
+        ax.set_xlim(3.0, 4.8)
+        ax.legend()
+        plt.sca(ax)
         return ax
 
     def _check_distribution(self, indVars="all", zdeps=None):

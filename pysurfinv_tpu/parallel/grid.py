@@ -39,8 +39,8 @@ def invert_grid(points, lonlats, outdir="mcdata", runN=24000, chainL=800,
                 seed=42, priori=False, wave="rayleigh", mesh=None,
                 verbose=True, point_cls=None, sampler="batched",
                 segment=100, retries=2, checkpoint=None, resume=False,
-                max_lanes=1024, _abort_after_segments=None,
-                _lane_offset=0):
+                max_lanes="auto", _abort_after_segments=None,
+                _lane_offset=0, _no_fallback=False):
     """Run MCMC for many grid points as one sharded computation.
 
     Args:
@@ -80,11 +80,15 @@ def invert_grid(points, lonlats, outdir="mcdata", runN=24000, chainL=800,
       resume:  True resumes from ``checkpoint`` if it exists —
                mid-chain checkpoint/resume the reference lacks
                (its npz is results-level only, point.py:80-85).
-      max_lanes: batched sampler only — auto-tile the point axis so no
-               single compiled program exceeds this many (point, chain)
-               lanes (compile services can reject very large programs).
-               Lane PRNG keys are offset per tile so tiled and untiled
-               runs are bitwise identical.  None disables tiling.
+      max_lanes: batched sampler only.  "auto" (default) runs the whole
+               grid as ONE program up to 8192 (point, chain) lanes —
+               lanes are the chip's parallelism, so tiling for no
+               reason halves throughput — and falls back to 1024-lane
+               tiles only if the compile service actually rejects the
+               big program (observed on some dev tunnels).  An integer
+               forces tiling at that lane count; None disables tiling
+               entirely.  Lane PRNG keys are offset per tile so tiled
+               and untiled runs are bitwise identical.
 
     Returns the list of written file paths.
     """
@@ -113,13 +117,19 @@ def invert_grid(points, lonlats, outdir="mcdata", runN=24000, chainL=800,
 
     # ---- auto-tiling ---------------------------------------------------
     # Very large single programs can exceed compile-service limits; tile
-    # the point axis so each call stays under ``max_lanes`` lanes.  Lane
+    # the point axis so each call stays under the lane budget.  Lane
     # PRNG keys derive from the *global* lane index (offset per tile),
     # so tiled and untiled runs produce bitwise-identical tracks.
+    # "auto" prefers one big program (lanes ARE the throughput) with a
+    # compile-rejection fallback to the known-good tile size below.
+    FALLBACK_LANES = 1024   # accepted everywhere we have run
+    AUTO_CEILING = 8192     # "auto" never tries single programs beyond
     nch = max(runN // chainL, 1)
-    if (sampler == "batched" and max_lanes and len(points) > 1
-            and len(points) * nch > max_lanes):
-        per = max(1, max_lanes // nch)
+    auto = max_lanes == "auto"
+    lane_limit = AUTO_CEILING if auto else max_lanes
+
+    def _tiled(per_lanes):
+        per = max(1, per_lanes // nch)
         paths = []
         for i in range(0, len(points), per):
             ck = f"{checkpoint}.tile{i}" if checkpoint else None
@@ -131,8 +141,13 @@ def invert_grid(points, lonlats, outdir="mcdata", runN=24000, chainL=800,
                 retries=retries, checkpoint=ck, resume=resume,
                 max_lanes=None,
                 _abort_after_segments=_abort_after_segments,
-                _lane_offset=_lane_offset + i * nch)
+                _lane_offset=_lane_offset + i * nch,
+                _no_fallback=True)
         return paths
+
+    if (sampler == "batched" and lane_limit and len(points) > 1
+            and len(points) * nch > lane_limit):
+        return _tiled(FALLBACK_LANES if auto else max_lanes)
 
     t0 = time.time()
     K = len(points)
@@ -306,6 +321,19 @@ def invert_grid(points, lonlats, outdir="mcdata", runN=24000, chainL=800,
 
         seg = (chainL - 1 if segment is None
                else min(max(int(segment), 1), chainL - 1))
+
+        def _can_fallback(e):
+            """Failure of an over-1024-lane "auto" program at its FIRST
+            execution -> assume the service rejected the big program and
+            retile.  Rejections on the dev tunnel surface with the same
+            UNAVAILABLE wording as genuine transient faults, and by the
+            time this runs the error has already survived ``retries``
+            re-attempts inside attempt() — so no transient filter here;
+            a truly flaky chip merely lands in (correct, slower) tiles."""
+            return (auto and not _no_fallback
+                    and (K + pad) * n_chains > FALLBACK_LANES
+                    and not isinstance(e, KeyboardInterrupt))
+
         with mesh:
             s = 0
             row_segs = []
@@ -330,8 +358,17 @@ def invert_grid(points, lonlats, outdir="mcdata", runN=24000, chainL=800,
                 if verbose:
                     print(f"invert_grid: resumed at step {s}")
             if carry is None:
-                carry, first = attempt(init_all, lane_keys, spec_l,
-                                       ctx_l, theta0_l, use_init)
+                try:
+                    carry, first = attempt(init_all, lane_keys, spec_l,
+                                           ctx_l, theta0_l, use_init)
+                except Exception as e:  # noqa: BLE001
+                    if not _can_fallback(e):
+                        raise
+                    if verbose:
+                        print(f"invert_grid: {(K + pad) * n_chains}-lane"
+                              f" program failed ({type(e).__name__}); "
+                              f"retiling at {FALLBACK_LANES} lanes")
+                    return _tiled(FALLBACK_LANES)
             while s < chainL - 1:
                 n = min(seg, chainL - 1 - s)
                 # Always execute exactly ``seg`` steps and discard the
@@ -342,9 +379,20 @@ def invert_grid(points, lonlats, outdir="mcdata", runN=24000, chainL=800,
                 # keyed by its global index), so kept rows are
                 # unaffected, and the over-advanced carry is never used
                 # (a short tail is always the final segment).
-                carry, rows = attempt(seg_all(seg), carry, lane_keys,
-                                      spec_l, ctx_l,
-                                      jnp.asarray(s, jnp.int32))
+                try:
+                    carry, rows = attempt(seg_all(seg), carry, lane_keys,
+                                          spec_l, ctx_l,
+                                          jnp.asarray(s, jnp.int32))
+                except Exception as e:  # noqa: BLE001
+                    # the segment program is the big one; fall back only
+                    # if it was rejected before any step completed
+                    if s != 0 or not _can_fallback(e):
+                        raise
+                    if verbose:
+                        print(f"invert_grid: segment program rejected "
+                              f"({type(e).__name__}); retiling at "
+                              f"{FALLBACK_LANES} lanes")
+                    return _tiled(FALLBACK_LANES)
                 row_segs.append(np.asarray(rows)[:n])
                 s += n
                 if checkpoint:

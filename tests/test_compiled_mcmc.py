@@ -103,6 +103,31 @@ def test_mcinv_mp_end_to_end(point, tmp_path):
     # chain rows carry theta in _brownians order
     assert pp.MCparas.shape[1] == len(point.initMod._brownians())
 
+    # posterior plot surface incl. the layered plotVsProfile variant
+    # (reference point.py:196-205, added round 2)
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    ax = pp.plotVsProfile()
+    assert len(ax.lines) >= 3  # initial + ensemble/avg/min overlays
+    pp.plotVsProfileGrid()
+    pp.plotDisp(ensemble=False)
+    plt.close("all")
+
+
+def test_host_mcinv_oracle(point, tmp_path):
+    """The host-sequential Metropolis oracle writes a valid chain npz
+    (restart rows flagged accepted, finite misfits)."""
+    out = str(tmp_path / "host")
+    point.MCinv(outdir=out, pid="h", runN=6, chainL=3, seed=0,
+                verbose=False)
+    tr = np.load(f"{out}/h.npz", allow_pickle=True)["mcTrack"]
+    assert tr.shape[0] == 6
+    assert tr[0, 2] == 1 and tr[3, 2] == 1  # chain restarts
+    assert set(np.unique(tr[:, 2])) <= {0.0, 1.0}
+    assert np.isfinite(tr).all()
+    assert tr.shape[1] == 3 + len(point.initMod._brownians())
+
 
 def test_priori_mode(point, tmp_path):
     outdir = str(tmp_path / "mcp")

@@ -244,3 +244,22 @@ def test_model3d_pipeline(invdir):
 
     qc = m3.checkPhaseVelocity(pers=[10, 50])
     assert set(qc.keys()) == {10, 50}
+
+    # full-feature section plot (round-2: restored depth-tick relabel,
+    # zoom separator, endpoint labels, decorateFuns hook, trueAspect,
+    # two colorbars — reference model3D.py:340-371)
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    hook_calls = []
+    imC, imM = m3.plotSection(
+        229.0, 46.0, 229.5, 46.5, label=("A", "A'"), trueAspect=True,
+        decorateFuns=[lambda *a: hook_calls.append(a)])
+    ax = imC.axes
+    assert hook_calls == [(229.0, 46.0, 229.5, 46.5)]
+    assert len(ax.figure.axes) >= 3  # main + crust + mantle colorbars
+    ylabels = [t.get_text() for t in ax.get_yticklabels()]
+    assert "15" in ylabels and "200" in ylabels  # true-depth relabel
+    texts = [t.get_text() for t in ax.texts]
+    assert "A" in texts and "A'" in texts
+    plt.close("all")
