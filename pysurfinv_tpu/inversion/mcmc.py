@@ -31,6 +31,7 @@ chain format PostPoint consumes (point.py:80-85).
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -44,6 +45,18 @@ class ChainConfig(NamedTuple):
     n_reset_rounds: int = 500      # retry cap, uniform resets
     priori: bool = False           # sample the prior only
     misfit_fail: float = 88888.0   # sentinel for failed forwards
+    propose_flat: int = int(os.environ.get("PYSURFINV_PROPOSE_FLAT",
+                                           2048))
+    #   ^ target flat batch per retry round (env override for A/B runs)
+    #   (batched sampler): stage s of the compacted retry pyramid draws
+    #   W_s = clamp(propose_flat // M_s, 1, 64) candidates per lane per
+    #   round.  At full lane count W = 1 (typical lanes pass in 1-2
+    #   rounds; measured 55 ms/step at 1920 homogeneous lanes), while
+    #   the compacted unfound tail goes WIDE: a pathological lane with
+    #   a near-unsatisfiable prior burns its whole ~600-draw budget
+    #   every step, and at W = 64 that costs ~10 rounds instead of 600
+    #   sequential prior-graph executions.  Results are bit-identical
+    #   for any width (see _propose_batched).
 
 
 def truncated_step(key, theta, step, vmin, vmax):
@@ -60,13 +73,23 @@ def uniform_reset(key, vmin, vmax, dtype):
     return vmin + u * (vmax - vmin)
 
 
-def _retry(key, sample_fn, check_fn, init_cand, max_rounds):
-    """Draw-until-accepted with an early-exit while loop.
+def _propose(key, theta, spec, ctx, isgood, cfg: ChainConfig):
+    """Prior-accepted proposal: perturb retries, then uniform resets
+    (models.py:192-219), as ONE fused early-exit retry loop.
 
-    Mirrors the reference's rejection loops (models.py:196-219) without
-    a fixed cost: typical proposals pass in 1-2 rounds.  Under vmap the
-    loop runs until every lane is done, so caps stay moderate.
+    Round i draws a bounded-Gaussian whole-model step while
+    ``i < n_perturb_rounds`` and a uniform reset after — the same
+    draw sequence as the reference's two nested loops, in a single
+    ``while_loop`` with exactly one ``isgood`` (grid build + priors)
+    per round.  The round-1 implementation nested the reset loop
+    inside a ``lax.cond``; under vmap a cond lowers to both branches,
+    so the reset ``while_loop`` ran to its all-lanes-found fixed point
+    on EVERY Metropolis step — ~10-20 wasted full grid builds per
+    step, which dominated real-workload sampling (measured: the
+    batched forward was < 5% of step time).  Typical proposals pass
+    in 1-2 rounds.
     """
+    max_rounds = cfg.n_perturb_rounds + cfg.n_reset_rounds
 
     def cond(s):
         i, found, _, _ = s
@@ -75,35 +98,120 @@ def _retry(key, sample_fn, check_fn, init_cand, max_rounds):
     def body(s):
         i, found, cand, k = s
         k, k1 = jax.random.split(k)
-        prop = sample_fn(k1)
-        good = check_fn(prop)
+        stepped = truncated_step(k1, theta, spec.step, spec.vmin,
+                                 spec.vmax)
+        fresh = uniform_reset(k1, spec.vmin, spec.vmax, theta.dtype)
+        prop = jnp.where(i < cfg.n_perturb_rounds, stepped, fresh)
+        good = isgood(prop, ctx)
         cand = jnp.where(good & ~found, prop, cand)
         return i + 1, found | good, cand, k
 
     # derive the initial flag from the candidate so its sharding
     # "varying" type matches the body output under shard_map
-    found0 = jnp.zeros_like(init_cand, bool).any()
+    found0 = jnp.zeros_like(theta, bool).any()
     _, found, cand, _ = lax.while_loop(
-        cond, body, (jnp.zeros((), jnp.int32), found0, init_cand, key))
+        cond, body, (jnp.zeros((), jnp.int32), found0, theta, key))
     return cand, found
 
 
-def _propose(key, theta, spec, ctx, isgood, cfg: ChainConfig):
-    """Prior-accepted proposal: perturb retries, then uniform resets
-    (models.py:192-219)."""
-    k1, k2 = jax.random.split(key)
-    cand, found = _retry(
-        k1,
-        lambda k: truncated_step(k, theta, spec.step, spec.vmin, spec.vmax),
-        lambda p: isgood(p, ctx), theta, cfg.n_perturb_rounds)
+def _propose_batched(keys, thetas, spec_b, ctx_b, isgood, cfg: ChainConfig,
+                     min_stage: int = 32):
+    """``vmap(_propose)`` with tail compaction — bitwise-identical lanes.
 
-    def do_reset(k):
-        return _retry(
-            k, lambda kk: uniform_reset(kk, spec.vmin, spec.vmax,
-                                        theta.dtype),
-            lambda p: isgood(p, ctx), cand, cfg.n_reset_rounds)
+    The vmapped retry loop runs until EVERY lane has a prior-accepted
+    proposal: expected rounds ~ ln(N)/p for prior pass rate p, while
+    the per-lane work floor is ~1/p — at the measured in-chain pass
+    rate (~13% on the Cascadia fixture) a 1920-lane step wastes ~4-5x
+    the floor, and the proposal loop dominates real sampling (measured
+    946 ms vs 25 ms for the batched forward).  Here, whenever the
+    unfound tail fits a 4x smaller buffer, it is compacted (argsort on
+    the found flag + gather) and the loop continues at that size, so
+    finished lanes stop consuming ``isgood`` evaluations.
 
-    cand, found = lax.cond(found, lambda k: (cand, found), do_reset, k2)
+    Per-lane results are bit-identical to ``vmap(_propose)``: each
+    lane's candidate depends only on its own key chain and its own
+    first-success draw index, and both are preserved exactly —
+    compaction only changes which buffer row a lane occupies, and the
+    ``propose_width``-wide rounds only change how many chain draws are
+    materialised per round (tests/test_compiled_mcmc.py asserts the
+    equivalence).  Sole deviation: the retry cap is honoured to within
+    one stage-width of ``n_perturb_rounds + n_reset_rounds`` (a lane
+    succeeding inside that sliver counts as found where the sequential
+    loop would have given up).
+    """
+    N, Pdim = thetas.shape
+    max_rounds = cfg.n_perturb_rounds + cfg.n_reset_rounds
+    visgood = jax.vmap(isgood)
+
+    def vdraw(r, k1, th, sp):
+        def one(k, t, vmin, vmax, step):
+            return jnp.where(r < cfg.n_perturb_rounds,
+                             truncated_step(k, t, step, vmin, vmax),
+                             uniform_reset(k, vmin, vmax, t.dtype))
+        return jax.vmap(one)(k1, th, sp.vmin, sp.vmax, sp.step)
+
+    def run_stage(state, th, sp, cx, stop_at):
+        """Wide retry rounds until the unfound tail <= stop_at (or cap).
+
+        Each round advances every lane's key chain by W draws and
+        evaluates all W x M candidates in one flattened isgood batch;
+        a lane keeps the FIRST passing candidate in global draw order
+        — exactly what W sequential rounds would have kept.  W scales
+        inversely with the stage size (see ChainConfig.propose_flat):
+        full-size stages run W = 1, the compacted pathological tail
+        runs wide so its retry budget drains in few rounds.
+        """
+        M = th.shape[0]
+        W = max(min(int(cfg.propose_flat) // M, 64), 1)
+        cxw = jax.tree.map(
+            lambda x: jnp.tile(x, (W,) + (1,) * (x.ndim - 1)), cx)
+
+        def cond(s):
+            r, found, _, _ = s
+            return (r < max_rounds) & (jnp.sum(~found) > stop_at)
+
+        def body(s):
+            r, found, cand, ks = s
+            k = ks
+            props = []
+            for j in range(W):                  # unrolled key-chain walk
+                k2 = jax.vmap(jax.random.split)(k)
+                k, kj = k2[:, 0], k2[:, 1]
+                props.append(vdraw(r + j, kj, th, sp))
+            props = jnp.stack(props)            # (W, M, P)
+            good = visgood(props.reshape(W * M, Pdim),
+                           cxw).reshape(W, M)
+            first = jnp.argmax(good, axis=0)    # first passing draw
+            has = jnp.any(good, axis=0)
+            pick = props[first, jnp.arange(M)]
+            upd = has & ~found
+            cand = jnp.where(upd[:, None], pick, cand)
+            return r + W, found | has, cand, k
+
+        return lax.while_loop(cond, body, state)
+
+    # stage pyramid: N -> N/4 -> N/16 -> ... (>= min_stage)
+    sizes = []
+    m = N // 4
+    while m >= min_stage:
+        sizes.append(m)
+        m //= 4
+
+    found = jnp.zeros((N,), bool)
+    r = jnp.zeros((), jnp.int32)
+    r, found, cand, ks = run_stage((r, found, thetas, keys), thetas,
+                                   spec_b, ctx_b,
+                                   sizes[0] if sizes else 0)
+    for i, M in enumerate(sizes):
+        stop = sizes[i + 1] if i + 1 < len(sizes) else 0
+        idx = jnp.argsort(found)[:M]           # unfound lanes first
+        take = lambda a: jax.tree.map(lambda x: x[idx], a)  # noqa: E731
+        st = (r, found[idx], cand[idx], take(ks))
+        r, f_s, c_s, k_s = run_stage(st, thetas[idx], take(spec_b),
+                                     take(ctx_b), stop)
+        found = found.at[idx].set(f_s)
+        cand = cand.at[idx].set(c_s)
+        ks = jax.tree.map(lambda x, y: x.at[idx].set(y), ks, k_s)
     return cand, found
 
 
@@ -221,14 +329,13 @@ def make_segmented_sampler(isgood, chi_sqr_batch, cfg: ChainConfig):
     def segment_fn(carry, lane_keys, spec_b, ctx_b, s0, n_steps):
         N = spec_b.theta0.shape[0]
         dtype = spec_b.theta0.dtype
-        vprop = jax.vmap(
-            lambda k, th, s, cx: _propose(k, th, s, cx, isgood, cfg))
 
         def step(carry, s):
             theta0, m0, chi0, L0 = carry
             k_prop = jax.vmap(lambda lk: jax.random.fold_in(lk, 2 * s))(
                 lane_keys)
-            theta1, okp = vprop(k_prop, theta0, spec_b, ctx_b)
+            theta1, okp = _propose_batched(k_prop, theta0, spec_b, ctx_b,
+                                           isgood, cfg)
             if cfg.priori:
                 row = jnp.concatenate(
                     [jnp.zeros((N, 2), dtype), jnp.ones((N, 1), dtype),

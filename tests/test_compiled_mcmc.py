@@ -115,6 +115,45 @@ def test_mcinv_mp_end_to_end(point, tmp_path):
     plt.close("all")
 
 
+def test_propose_batched_equals_vmapped(point, cm):
+    """Tail-compacted proposals are bit-identical to vmap(_propose).
+
+    Compaction only changes which buffer row a lane occupies; its key
+    chain, draw sequence and first-success round are untouched — so
+    the sampled chains are exactly the uncompacted ones, just faster.
+    """
+    import jax
+    import jax.numpy as jnp
+    from pysurfinv_tpu.inversion.mcmc import (ChainConfig, _propose,
+                                              _propose_batched)
+
+    N = 96
+    cfg = ChainConfig(chain_len=8)
+    keys = jax.random.split(jax.random.PRNGKey(11), N)
+    rng = np.random.default_rng(4)
+    spec = cm.spec
+    th = (np.asarray(spec.theta0)[None]
+          + 0.05 * rng.standard_normal((N, len(spec.theta0)))
+          * np.asarray(spec.step)[None])
+    th = jnp.asarray(np.clip(th, np.asarray(spec.vmin),
+                             np.asarray(spec.vmax)))
+    bcast = lambda x: jnp.broadcast_to(x, (N,) + x.shape)  # noqa: E731
+    spec_b = jax.tree.map(bcast, spec)
+    psi_b = bcast(cm.psi0)
+    isgood = lambda t, p: cm.isgood(t, p)  # noqa: E731
+
+    ref_c, ref_f = jax.jit(jax.vmap(
+        lambda k, t, s, c: _propose(k, t, s, c, isgood, cfg)))(
+        keys, th, spec_b, psi_b)
+    # min_stage small so the 96-lane test exercises two compactions
+    fast_c, fast_f = jax.jit(
+        lambda k, t, s, c: _propose_batched(k, t, s, c, isgood, cfg,
+                                            min_stage=6))(
+        keys, th, spec_b, psi_b)
+    np.testing.assert_array_equal(np.asarray(ref_f), np.asarray(fast_f))
+    np.testing.assert_array_equal(np.asarray(ref_c), np.asarray(fast_c))
+
+
 def test_host_mcinv_oracle(point, tmp_path):
     """The host-sequential Metropolis oracle writes a valid chain npz
     (restart rows flagged accepted, finite misfits)."""
