@@ -93,6 +93,15 @@ class CompiledModel:
     """Freeze a Model1D's structure; expose (theta, psi)-pure functions."""
 
     def __init__(self, model, pad_align=8):
+        # the structure freeze below walks every layer's host-eager
+        # build; on a tunnelled accelerator those tiny eager ops cost
+        # a round trip each (measured: 429 s for one freeze vs ~2 s on
+        # the local CPU), so pin them to the host
+        from ..utils import host_eager
+        with host_eager():
+            self._init(model, pad_align)
+
+    def _init(self, model, pad_align):
         self.model = model.copy()
         self.info = dict(model.info)
         layers = self.model.layers
@@ -155,11 +164,14 @@ class CompiledModel:
         bs = [s[3] for s in _walk_brownians(model.layers)]
         if hasattr(self, "_slots") and len(bs) != len(self._slots):
             raise ValueError("model structure mismatch (theta size)")
+        # numpy (not device) arrays: spec extraction runs per grid
+        # point on the host and the values feed jit through device_put
+        dt = np.float64 if jax.config.jax_enable_x64 else np.float32
         return BrownianSpec(
-            theta0=jnp.array([float(b) for b in bs]),
-            vmin=jnp.array([b.vmin for b in bs]),
-            vmax=jnp.array([b.vmax for b in bs]),
-            step=jnp.array([b.step for b in bs]))
+            theta0=np.array([float(b) for b in bs], dt),
+            vmin=np.array([b.vmin for b in bs], dt),
+            vmax=np.array([b.vmax for b in bs], dt),
+            step=np.array([b.step for b in bs], dt))
 
     def psi_of(self, model):
         """Fixed-constant vector of a same-structure model."""
@@ -168,7 +180,8 @@ class CompiledModel:
             raise ValueError("model structure mismatch (psi size)")
         info = model.info or {}
         extra = [float(info.get(k, 0) or 0) for k in _INFO_KEYS]
-        return jnp.array([float(c) for c in cs] + extra)
+        dt = np.float64 if jax.config.jax_enable_x64 else np.float32
+        return np.array([float(c) for c in cs] + extra, dt)
 
     @staticmethod
     def _static_nfine(layer, hctx):

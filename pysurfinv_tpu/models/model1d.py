@@ -124,6 +124,11 @@ class Model1D:
     # ---- structure ------------------------------------------------------
     def seisPropGrids(self, refLayer=False, _layerName=False,
                       hLowerLimit=0.01):
+        from ..utils import host_eager
+        with host_eager():
+            return self._seisPropGrids(refLayer, _layerName, hLowerLimit)
+
+    def _seisPropGrids(self, refLayer, _layerName, hLowerLimit):
         layers = list(self.layers) + ([self._refLayer] if refLayer else [])
         z0 = -max(self.info.get("topo", 0) or 0, 0)
         z, vs, vp, rho, qs, qp = [], [], [], [], [], []

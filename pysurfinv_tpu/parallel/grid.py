@@ -72,9 +72,12 @@ def invert_grid(points, lonlats, outdir="mcdata", runN=24000, chainL=800,
                minutes are killed as UNAVAILABLE) need it for long
                chains.
       retries: on a transient device fault (e.g. a preempted or
-               tunnelled chip dropping a launch) re-run the failed
-               segment this many times before giving up.  The sampler
-               is deterministic, so a retry continues the exact chain.
+               tunnelled chip dropping a launch) re-run from the last
+               fetched segment this many times before giving up.  The
+               sampler is deterministic, so a retry continues the
+               exact chain.  Segments are dispatched up to
+               ``PYSURFINV_PIPELINE`` (default 3) ahead of the host
+               fetch, so row transfers overlap device compute.
       checkpoint: optional path; after each segment the carry and the
                rows so far are written there, and
       resume:  True resumes from ``checkpoint`` if it exists —
@@ -150,8 +153,11 @@ def invert_grid(points, lonlats, outdir="mcdata", runN=24000, chainL=800,
         return _tiled(FALLBACK_LANES if auto else max_lanes)
 
     t0 = time.time()
+    marks = []
+    _mark = lambda name: marks.append((name, time.time()))  # noqa: E731
     K = len(points)
     cm = CompiledModel(points[0].initMod)
+    _mark("compile_model")
 
     # ---- point-class likelihood -----------------------------------------
     # The reference's per-point jobs always sample with the point's OWN
@@ -191,6 +197,8 @@ def invert_grid(points, lonlats, outdir="mcdata", runN=24000, chainL=800,
         obs_m[k, :n] = mask
     periods, obs_c, uncer, obs_m = map(jnp.asarray,
                                        (periods, obs_c, uncer, obs_m))
+
+    _mark("per_point_specs")
 
     # ---- kernel ----------------------------------------------------------
     def isgood(theta, ctx):
@@ -302,22 +310,12 @@ def invert_grid(points, lonlats, outdir="mcdata", runN=24000, chainL=800,
                                            "remote_compile"))
             return (isinstance(e, JaxRuntimeError) and grpc) or infra
 
-        def attempt(fn, *args):
-            """Run fn, retrying transient device faults."""
-            import jax as _jax
-            for r in range(retries + 1):
-                try:
-                    out = fn(*args)
-                    _jax.block_until_ready(out)
-                    return out
-                except Exception as e:  # noqa: BLE001
-                    if r == retries or not _transient(e):
-                        raise
-                    if verbose:
-                        print(f"invert_grid: transient device fault "
-                              f"({type(e).__name__}), retry "
-                              f"{r + 1}/{retries}")
-                    time.sleep(10.0 * (r + 1))
+        # Dispatch up to ``depth`` segments ahead of the host-side
+        # fetch: jax dispatch is async, so converting segment j's rows
+        # to numpy (a multi-MB transfer — the whole host cost of the
+        # loop) overlaps with the device already running segment j+1.
+        depth = (max(1, int(os.environ.get("PYSURFINV_PIPELINE", "3")))
+                 if _abort_after_segments is None else 1)
 
         seg = (chainL - 1 if segment is None
                else min(max(int(segment), 1), chainL - 1))
@@ -357,59 +355,94 @@ def invert_grid(points, lonlats, outdir="mcdata", runN=24000, chainL=800,
                 row_segs = [np.asarray(ck["rows"])] if s > 0 else []
                 if verbose:
                     print(f"invert_grid: resumed at step {s}")
-            if carry is None:
+            resumed = carry is not None
+            if not resumed:
+                # async dispatch — a failure (incl. compile-service
+                # rejection of the big program) surfaces at the first
+                # pipeline fetch below, where fallback/retry live
+                carry, first = init_all(lane_keys, spec_l, ctx_l,
+                                        theta0_l, use_init)
+                _mark("dispatch_init")
+            # ---- pipelined segment loop -------------------------------
+            # Each fetched segment also materialises its (tiny) carry,
+            # giving a per-segment host sync point; on a transient
+            # device fault every in-flight segment is recomputed from
+            # the last sync point — bitwise identical, since each
+            # step's RNG is a pure function of (lane key, global step
+            # index).  Segments always execute exactly ``seg`` steps
+            # and a short tail's surplus rows are discarded: XLA fully
+            # unrolls length-1 scans, which re-associates the step math
+            # and breaks bitwise identity with the monolithic run.  The
+            # surplus steps' RNG indices are distinct, so kept rows are
+            # unaffected, and the over-advanced carry is never used.
+            any_done = resumed  # resume => the program is known-good
+            tries = 0
+            # sync = None means "roll back by re-running init"; after a
+            # resume the checkpoint carry is already host-side
+            sync = ((s, jax.tree.map(np.asarray, carry)) if resumed
+                    else None)
+            pending = []  # (n_kept, s_after, rows_dev, carry_dev)
+            while s < chainL - 1 or pending:
                 try:
-                    carry, first = attempt(init_all, lane_keys, spec_l,
-                                           ctx_l, theta0_l, use_init)
-                except Exception as e:  # noqa: BLE001
-                    if not _can_fallback(e):
-                        raise
-                    if verbose:
-                        print(f"invert_grid: {(K + pad) * n_chains}-lane"
-                              f" program failed ({type(e).__name__}); "
-                              f"retiling at {FALLBACK_LANES} lanes")
-                    return _tiled(FALLBACK_LANES)
-            while s < chainL - 1:
-                n = min(seg, chainL - 1 - s)
-                # Always execute exactly ``seg`` steps and discard the
-                # surplus rows of a short tail: XLA fully unrolls
-                # length-1 scans, which re-associates the step math and
-                # breaks bitwise identity with the monolithic run.  The
-                # surplus steps' RNG indices are distinct (each step is
-                # keyed by its global index), so kept rows are
-                # unaffected, and the over-advanced carry is never used
-                # (a short tail is always the final segment).
-                try:
-                    carry, rows = attempt(seg_all(seg), carry, lane_keys,
-                                          spec_l, ctx_l,
-                                          jnp.asarray(s, jnp.int32))
+                    while s < chainL - 1 and len(pending) < depth:
+                        n = min(seg, chainL - 1 - s)
+                        carry, rows = seg_all(seg)(
+                            carry, lane_keys, spec_l, ctx_l,
+                            jnp.asarray(s, jnp.int32))
+                        pending.append((n, s + n, rows, carry))
+                        s += n
+                    n0, s_after, rows0, carry0 = pending[0]
+                    host_rows = np.asarray(rows0)[:n0]
+                    host_carry = jax.tree.map(np.asarray, carry0)
+                    pending.pop(0)
                 except Exception as e:  # noqa: BLE001
                     # the segment program is the big one; fall back only
-                    # if it was rejected before any step completed
-                    if s != 0 or not _can_fallback(e):
+                    # if it was rejected before any segment completed
+                    if not any_done and _can_fallback(e):
+                        if verbose:
+                            print(f"invert_grid: segment program "
+                                  f"rejected ({type(e).__name__}); "
+                                  f"retiling at {FALLBACK_LANES} lanes")
+                        return _tiled(FALLBACK_LANES)
+                    if tries >= retries or not _transient(e):
                         raise
+                    tries += 1
+                    back = sync[0] if sync else "init"
                     if verbose:
-                        print(f"invert_grid: segment program rejected "
-                              f"({type(e).__name__}); retiling at "
-                              f"{FALLBACK_LANES} lanes")
-                    return _tiled(FALLBACK_LANES)
-                row_segs.append(np.asarray(rows)[:n])
-                s += n
+                        print(f"invert_grid: transient device fault "
+                              f"({type(e).__name__}), retry "
+                              f"{tries}/{retries} from step {back}")
+                    time.sleep(10.0 * tries)
+                    pending = []
+                    if sync is None:
+                        carry, first = init_all(lane_keys, spec_l,
+                                                ctx_l, theta0_l,
+                                                use_init)
+                        s = 0
+                    else:
+                        s, hc = sync
+                        carry = tuple(jnp.asarray(c) for c in hc)
+                    continue
+                any_done = True
+                tries = 0
+                row_segs.append(host_rows)
+                sync = (s_after, host_carry)
                 if checkpoint:
                     tmp = checkpoint + ".tmp.npz"
                     with open(tmp, "wb") as fh:
-                        np.savez(fh, s=s, first=np.asarray(first),
+                        np.savez(fh, s=s_after, first=np.asarray(first),
                                  rows=np.concatenate(row_segs, axis=0),
                                  **ck_meta,
-                                 **{f"carry{i}": np.asarray(c)
-                                    for i, c in enumerate(carry)})
+                                 **{f"carry{i}": c
+                                    for i, c in enumerate(host_carry)})
                     os.replace(tmp, checkpoint)
                 if (_abort_after_segments is not None
                         and len(row_segs) >= _abort_after_segments
-                        and s < chainL - 1):
+                        and s_after < chainL - 1):
                     # testing hook: simulate the process dying mid-run
                     raise KeyboardInterrupt("aborted after "
                                             f"{len(row_segs)} segments")
+        _mark("segments")
         if row_segs:  # chainL == 1 -> degenerate zero-step chains
             rows = np.concatenate(row_segs, axis=0)  # (chainL-1, N, 3+k)
             tracks = np.concatenate(
@@ -440,17 +473,34 @@ def invert_grid(points, lonlats, outdir="mcdata", runN=24000, chainL=800,
         tracks = np.asarray(tracks)[:K]  # (K, n_chains, chainL, 3+ntheta)
 
     # ---- write reference-format npz per point ---------------------------
+    # zlib is the bottleneck of the write phase (measured 11 s serial
+    # for 64 points x 24k samples); compress points in a thread pool
+    # (savez_compressed releases the GIL inside zlib)
     os.makedirs(outdir, exist_ok=True)
-    paths = []
-    for k, (lon, lat) in enumerate(lonlats):
-        mcTrack = tracks[k].reshape(runN, -1)
+
+    def _write(k_lonlat):
+        k, (lon, lat) = k_lonlat
         pid = f"{lon:g}_{lat:g}"
         np.savez_compressed(
-            f"{outdir}/{pid}.npz", mcTrack=mcTrack,
+            f"{outdir}/{pid}.npz", mcTrack=tracks[k].reshape(runN, -1),
             setting=dict(points[k].initMod.toYML()), obs=points[k].obs,
             invMeta={"pid": pid, "chainL": chainL})
-        paths.append(f"{outdir}/{pid}.npz")
+        return f"{outdir}/{pid}.npz"
+
+    if len(lonlats) > 4:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            paths = list(pool.map(_write, enumerate(lonlats)))
+    else:
+        paths = [_write(kl) for kl in enumerate(lonlats)]
     if verbose:
+        _mark("write_npz")
+        prev = t0
+        parts = []
+        for name, t in marks:
+            parts.append(f"{name} {t - prev:.1f}")
+            prev = t
         print(f"invert_grid: {K} points x {n_chains} chains x {chainL} "
-              f"steps in {time.time() - t0:.1f}s on {n_dev} device(s)")
+              f"steps in {time.time() - t0:.1f}s on {n_dev} device(s) "
+              f"[{', '.join(parts)}]")
     return paths

@@ -5,7 +5,49 @@ Capability spec from ``/root/reference/utils.py:9-53``.
 
 from __future__ import annotations
 
+import contextlib
+
 import numpy as np
+
+_HOST_CPU = None
+
+
+def _host_cpu_device():
+    """The local CPU jax device, or None if the CPU backend is absent."""
+    global _HOST_CPU
+    if _HOST_CPU is None:
+        import jax
+        try:
+            _HOST_CPU = jax.local_devices(backend="cpu")[0]
+        except Exception:  # noqa: BLE001 — cpu plugin not registered
+            _HOST_CPU = False
+    return _HOST_CPU or None
+
+
+@contextlib.contextmanager
+def host_eager():
+    """Pin eager (non-jit) jnp ops inside the block to the local CPU.
+
+    The dual host/traced layer classes run their host-mode math as
+    eager jnp ops.  On a remote-tunnelled accelerator every such tiny
+    op is a compile-service + execution round trip: one CompiledModel
+    structure freeze measured 429 s on the tunnel vs milliseconds on
+    the host CPU.  Traced (jit) calls are unaffected — a trace context
+    ignores the default-device setting — so the dual-mode classes need
+    no changes; only host-only entry points opt in.
+
+    Callers must materialise results to numpy before leaving the block
+    (every current caller already does): arrays committed to the CPU
+    device would otherwise pull later eager math — or a jit call with
+    no explicit sharding — onto the CPU silently.
+    """
+    dev = _host_cpu_device()
+    if dev is None:
+        yield
+        return
+    import jax
+    with jax.default_device(dev):
+        yield
 
 
 def _dictIterModifier(d, checker, modifier):
