@@ -115,7 +115,7 @@ def _propose(key, theta, spec, ctx, isgood, cfg: ChainConfig):
 
 
 def _propose_batched(keys, thetas, spec_b, ctx_b, isgood, cfg: ChainConfig,
-                     min_stage: int = 32):
+                     min_stage: int = 32, skip=None):
     """``vmap(_propose)`` with tail compaction — bitwise-identical lanes.
 
     The vmapped retry loop runs until EVERY lane has a prior-accepted
@@ -138,6 +138,11 @@ def _propose_batched(keys, thetas, spec_b, ctx_b, isgood, cfg: ChainConfig,
     one stage-width of ``n_perturb_rounds + n_reset_rounds`` (a lane
     succeeding inside that sliver counts as found where the sequential
     loop would have given up).
+
+    ``skip``: optional traced scalar bool; True marks every lane found
+    before the first round, so the retry loops exit immediately and the
+    input ``thetas`` come back unchanged (used by the merged init row
+    of the segment scan, whose proposal is discarded anyway).
     """
     N, Pdim = thetas.shape
     max_rounds = cfg.n_perturb_rounds + cfg.n_reset_rounds
@@ -198,6 +203,8 @@ def _propose_batched(keys, thetas, spec_b, ctx_b, isgood, cfg: ChainConfig,
         m //= 4
 
     found = jnp.zeros((N,), bool)
+    if skip is not None:
+        found = found | skip
     r = jnp.zeros((), jnp.int32)
     r, found, cand, ks = run_stage((r, found, thetas, keys), thetas,
                                    spec_b, ctx_b,
@@ -285,17 +292,26 @@ def make_segmented_sampler(isgood, chi_sqr_batch, cfg: ChainConfig):
 
     Splitting the time-major scan into segments enables mid-chain
     checkpoint/resume and retry-on-device-fault (``parallel.grid``):
-    every step's RNG draws are a pure function of (lane key, global
-    step index), so running the chain as one scan or as any sequence
-    of segments is bitwise identical (asserted by
-    ``tests/test_compiled_mcmc.py``).
+    every row's RNG draws are a pure function of (lane key, global row
+    index), so running the chain as one scan or as any sequence of
+    segments is bitwise identical (asserted by
+    ``tests/test_parallel_grid.py``).
+
+    The chain-format init row is ROW 0 of the first segment: ``init_fn``
+    only builds prior-accepted start thetas (no forward), and the
+    segment scan evaluates them at global row 0 with acceptance forced.
+    This keeps the dispersion solver traced and compiled exactly ONCE
+    per run — a separate init program duplicating the forward measured
+    ~15 s of host tracing plus a second large XLA program.
 
     Returns ``(init_fn, segment_fn)``:
       init_fn(lane_keys, spec_b, ctx_b, theta_init_b, use_init_b)
-        -> (carry, first_row)      carry = (theta, misfit, chi, L)
+        -> carry                   carry = (theta, misfit, chi, L);
+                                   misfit/chi/L are zeros until row 0
+                                   evaluates them
       segment_fn(carry, lane_keys, spec_b, ctx_b, s0, n_steps)
         -> (carry, rows)           rows (n_steps, N, 3 + k); covers
-                                   global steps s0 .. s0 + n_steps - 1
+                                   global rows s0 .. s0 + n_steps - 1
                                    (``n_steps`` static, ``s0`` traced)
     """
 
@@ -320,32 +336,32 @@ def make_segmented_sampler(isgood, chi_sqr_batch, cfg: ChainConfig):
 
         theta = jax.vmap(init_lane)(lane_keys, spec_b, ctx_b,
                                     theta_init_b, use_init_b)
-        misfit, chi, L = eval_all(theta, ctx_b)
-        first = jnp.concatenate(
-            [jnp.stack([misfit, L, jnp.ones_like(misfit)], axis=1), theta],
-            axis=1)
-        return (theta, misfit, chi, L), first
+        z = jnp.zeros((theta.shape[0],), dtype)
+        return (theta, z, z, z)
 
     def segment_fn(carry, lane_keys, spec_b, ctx_b, s0, n_steps):
         N = spec_b.theta0.shape[0]
         dtype = spec_b.theta0.dtype
 
-        def step(carry, s):
+        def step(carry, r):
             theta0, m0, chi0, L0 = carry
-            k_prop = jax.vmap(lambda lk: jax.random.fold_in(lk, 2 * s))(
+            at_init = r == 0  # row 0 = evaluate-the-start-model row
+            k_prop = jax.vmap(lambda lk: jax.random.fold_in(lk, 2 * r))(
                 lane_keys)
             theta1, okp = _propose_batched(k_prop, theta0, spec_b, ctx_b,
-                                           isgood, cfg)
+                                           isgood, cfg, skip=at_init)
             if cfg.priori:
+                Lcol = jnp.broadcast_to(
+                    jnp.where(at_init, 1.0, 0.0).astype(dtype), (N, 1))
                 row = jnp.concatenate(
-                    [jnp.zeros((N, 2), dtype), jnp.ones((N, 1), dtype),
-                     theta1], axis=1)
+                    [jnp.zeros((N, 1), dtype), Lcol,
+                     jnp.ones((N, 1), dtype), theta1], axis=1)
                 return (theta1, m0, chi0, L0), row
             m1, chi1, L1 = eval_all(theta1, ctx_b)
             u = jax.vmap(lambda lk: jax.random.uniform(
-                jax.random.fold_in(lk, 2 * s + 1), dtype=dtype))(lane_keys)
+                jax.random.fold_in(lk, 2 * r + 1), dtype=dtype))(lane_keys)
             accept = (chi1 < chi0) | (u > 1.0 - jnp.exp(-(chi1 - chi0) / 2))
-            accept = accept & okp & (m1 < cfg.misfit_fail)
+            accept = at_init | (accept & okp & (m1 < cfg.misfit_fail))
             row = jnp.concatenate(
                 [jnp.stack([m1, L1, accept.astype(dtype)], axis=1), theta1],
                 axis=1)
@@ -393,13 +409,13 @@ def make_batched_sampler(isgood, chi_sqr_batch, cfg: ChainConfig):
                                                   cfg)
 
     def run(lane_keys, spec_b, ctx_b, theta_init_b, use_init_b):
-        carry, first = init_fn(lane_keys, spec_b, ctx_b, theta_init_b,
-                               use_init_b)
+        carry = init_fn(lane_keys, spec_b, ctx_b, theta_init_b,
+                        use_init_b)
         _, rows = segment_fn(carry, lane_keys, spec_b, ctx_b,
-                             jnp.asarray(0, jnp.int32), cfg.chain_len - 1)
-        # rows: (chain_len-1, N, 3+k) -> (N, chain_len, 3+k)
-        return jnp.concatenate([first[:, None], jnp.moveaxis(rows, 0, 1)],
-                               axis=1)
+                             jnp.asarray(0, jnp.int32), cfg.chain_len)
+        # rows: (chain_len, N, 3+k) -> (N, chain_len, 3+k); row 0 is
+        # the init-evaluation row
+        return jnp.moveaxis(rows, 0, 1)
 
     return run
 

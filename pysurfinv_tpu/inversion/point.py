@@ -160,29 +160,24 @@ class Point:
             use_init = jnp.arange(N) == 0
             lane_keys = jax.vmap(
                 lambda i: jax.random.fold_in(key, i))(jnp.arange(N))
-            carry, first = jax.jit(init_fn)(lane_keys, spec_b, psi_b,
-                                            theta0_b, use_init)
-            seg = (chainL - 1 if segment is None
-                   else min(max(int(segment), 1), chainL - 1))
+            carry = jax.jit(init_fn)(lane_keys, spec_b, psi_b,
+                                     theta0_b, use_init)
+            seg = (chainL if segment is None
+                   else min(max(int(segment), 1), chainL))
             seg_jit = jax.jit(lambda c, lk, sp, cx, s0: seg_fn(
                 c, lk, sp, cx, s0, seg))
             s = 0
             row_segs = []
-            while s < chainL - 1:
+            while s < chainL:
                 # fixed seg-step executions; a short tail's surplus
                 # rows are discarded (see parallel/grid.py for why)
-                n = min(seg, chainL - 1 - s)
+                n = min(seg, chainL - s)
                 carry, rows = seg_jit(carry, lane_keys, spec_b, psi_b,
                                       jnp.asarray(s, jnp.int32))
                 row_segs.append(np.asarray(rows)[:n])
                 s += n
-            if row_segs:  # chainL == 1 -> degenerate zero-step chains
-                rows = np.concatenate(row_segs, axis=0)
-                tracks = np.concatenate(
-                    [np.asarray(first)[:, None], np.moveaxis(rows, 0, 1)],
-                    axis=1)
-            else:
-                tracks = np.asarray(first)[:, None]
+            # row 0 of the first segment is the init-evaluation row
+            tracks = np.moveaxis(np.concatenate(row_segs, axis=0), 0, 1)
         else:
             chi_sqr = self._compiled_chi_sqr(cm, periods, wave)
             kernel = make_chain_kernel(lambda th, psi: cm.isgood(th, psi),
@@ -284,8 +279,9 @@ class Point:
         return chi_sqr_batch
 
     def _save_npz(self, outdir, pid, mcTrack, chainL):
+        from pysurfinv_tpu.utils import savez_fast
         os.makedirs(outdir, exist_ok=True)
-        np.savez_compressed(
+        savez_fast(
             f"{outdir}/{pid}.npz", mcTrack=mcTrack,
             setting=dict(self.initMod.toYML()), obs=self.obs,
             invMeta={"pid": pid, "chainL": chainL})

@@ -275,7 +275,7 @@ def invert_grid(points, lonlats, outdir="mcdata", runN=24000, chainL=800,
         if n_dev > 1:
             init_all = jax.shard_map(
                 init_fn, mesh=mesh, in_specs=(pp,) * 5,
-                out_specs=(pp, pp), check_vma=False)
+                out_specs=pp, check_vma=False)
         else:
             init_all = init_fn
         init_all = jax.jit(init_all)
@@ -317,8 +317,8 @@ def invert_grid(points, lonlats, outdir="mcdata", runN=24000, chainL=800,
         depth = (max(1, int(os.environ.get("PYSURFINV_PIPELINE", "3")))
                  if _abort_after_segments is None else 1)
 
-        seg = (chainL - 1 if segment is None
-               else min(max(int(segment), 1), chainL - 1))
+        seg = (chainL if segment is None
+               else min(max(int(segment), 1), chainL))
 
         def _can_fallback(e):
             """Failure of an over-1024-lane "auto" program at its FIRST
@@ -336,8 +336,8 @@ def invert_grid(points, lonlats, outdir="mcdata", runN=24000, chainL=800,
             s = 0
             row_segs = []
             carry = first = None
-            ck_meta = {"seed": seed + _lane_offset, "runN": runN,
-                       "chainL": chainL, "K": K,
+            ck_meta = {"fmt": 2, "seed": seed + _lane_offset,
+                       "runN": runN, "chainL": chainL, "K": K,
                        "n_lanes": (K + pad) * n_chains}
             if resume and checkpoint and os.path.exists(checkpoint):
                 ck = np.load(checkpoint, allow_pickle=True)
@@ -351,7 +351,6 @@ def invert_grid(points, lonlats, outdir="mcdata", runN=24000, chainL=800,
                 s = int(ck["s"])
                 carry = tuple(jnp.asarray(ck[f"carry{i}"])
                               for i in range(4))
-                first = jnp.asarray(ck["first"])
                 row_segs = [np.asarray(ck["rows"])] if s > 0 else []
                 if verbose:
                     print(f"invert_grid: resumed at step {s}")
@@ -359,9 +358,11 @@ def invert_grid(points, lonlats, outdir="mcdata", runN=24000, chainL=800,
             if not resumed:
                 # async dispatch — a failure (incl. compile-service
                 # rejection of the big program) surfaces at the first
-                # pipeline fetch below, where fallback/retry live
-                carry, first = init_all(lane_keys, spec_l, ctx_l,
-                                        theta0_l, use_init)
+                # pipeline fetch below, where fallback/retry live.
+                # init builds start thetas only; their evaluation is
+                # row 0 of the first segment (no duplicated forward)
+                carry = init_all(lane_keys, spec_l, ctx_l,
+                                 theta0_l, use_init)
                 _mark("dispatch_init")
             # ---- pipelined segment loop -------------------------------
             # Each fetched segment also materialises its (tiny) carry,
@@ -382,10 +383,10 @@ def invert_grid(points, lonlats, outdir="mcdata", runN=24000, chainL=800,
             sync = ((s, jax.tree.map(np.asarray, carry)) if resumed
                     else None)
             pending = []  # (n_kept, s_after, rows_dev, carry_dev)
-            while s < chainL - 1 or pending:
+            while s < chainL or pending:
                 try:
-                    while s < chainL - 1 and len(pending) < depth:
-                        n = min(seg, chainL - 1 - s)
+                    while s < chainL and len(pending) < depth:
+                        n = min(seg, chainL - s)
                         carry, rows = seg_all(seg)(
                             carry, lane_keys, spec_l, ctx_l,
                             jnp.asarray(s, jnp.int32))
@@ -415,9 +416,8 @@ def invert_grid(points, lonlats, outdir="mcdata", runN=24000, chainL=800,
                     time.sleep(10.0 * tries)
                     pending = []
                     if sync is None:
-                        carry, first = init_all(lane_keys, spec_l,
-                                                ctx_l, theta0_l,
-                                                use_init)
+                        carry = init_all(lane_keys, spec_l, ctx_l,
+                                         theta0_l, use_init)
                         s = 0
                     else:
                         s, hc = sync
@@ -430,7 +430,7 @@ def invert_grid(points, lonlats, outdir="mcdata", runN=24000, chainL=800,
                 if checkpoint:
                     tmp = checkpoint + ".tmp.npz"
                     with open(tmp, "wb") as fh:
-                        np.savez(fh, s=s_after, first=np.asarray(first),
+                        np.savez(fh, s=s_after,
                                  rows=np.concatenate(row_segs, axis=0),
                                  **ck_meta,
                                  **{f"carry{i}": c
@@ -438,18 +438,14 @@ def invert_grid(points, lonlats, outdir="mcdata", runN=24000, chainL=800,
                     os.replace(tmp, checkpoint)
                 if (_abort_after_segments is not None
                         and len(row_segs) >= _abort_after_segments
-                        and s_after < chainL - 1):
+                        and s_after < chainL):
                     # testing hook: simulate the process dying mid-run
                     raise KeyboardInterrupt("aborted after "
                                             f"{len(row_segs)} segments")
         _mark("segments")
-        if row_segs:  # chainL == 1 -> degenerate zero-step chains
-            rows = np.concatenate(row_segs, axis=0)  # (chainL-1, N, 3+k)
-            tracks = np.concatenate(
-                [np.asarray(first)[:, None], np.moveaxis(rows, 0, 1)],
-                axis=1)
-        else:
-            tracks = np.asarray(first)[:, None]
+        # row 0 of the first segment is the init-evaluation row
+        rows = np.concatenate(row_segs, axis=0)  # (chainL, N, 3+k)
+        tracks = np.moveaxis(rows, 0, 1)
         tracks = tracks.reshape(K + pad, n_chains, chainL, -1)[:K]
     else:
         kernel = make_chain_kernel(isgood, chi_sqr, cfg)
@@ -474,14 +470,15 @@ def invert_grid(points, lonlats, outdir="mcdata", runN=24000, chainL=800,
 
     # ---- write reference-format npz per point ---------------------------
     # zlib is the bottleneck of the write phase (measured 11 s serial
-    # for 64 points x 24k samples); compress points in a thread pool
-    # (savez_compressed releases the GIL inside zlib)
+    # for 64 points x 24k samples); compress at deflate level 1
+    # (savez_fast) and across a thread pool (zlib releases the GIL)
+    from pysurfinv_tpu.utils import savez_fast
     os.makedirs(outdir, exist_ok=True)
 
     def _write(k_lonlat):
         k, (lon, lat) = k_lonlat
         pid = f"{lon:g}_{lat:g}"
-        np.savez_compressed(
+        savez_fast(
             f"{outdir}/{pid}.npz", mcTrack=tracks[k].reshape(runN, -1),
             setting=dict(points[k].initMod.toYML()), obs=points[k].obs,
             invMeta={"pid": pid, "chainL": chainL})
