@@ -69,13 +69,11 @@ def main():
     import jax.numpy as jnp
     from pysurfinv_tpu.ops.dispersion import SurfConfig, surf_forward_batch
 
-    # persistent compile cache: repeat bench runs skip the multi-minute
-    # first compile of the fused kernels
-    if not jax.config.jax_compilation_cache_dir:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.expanduser("~/.cache/pysurfinv_jit"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs",
-                          1.0)
+    # persistent compile cache (per-machine dir: stale cross-machine
+    # XLA:CPU entries otherwise fail to load and silently recompile):
+    # repeat bench runs skip the multi-minute first compile
+    from pysurfinv_tpu.utils import configure_jit_cache
+    configure_jit_cache()
 
     rng = np.random.default_rng(0)
     # 64k models per launch: the ~45 kernel launches per solve carry
@@ -122,17 +120,25 @@ def main():
     def time_best(run):
         """Best of 3 windows: the tunnelled chip's effective clock
         drifts run-to-run by up to ~1.5x; the best window reflects the
-        kernel's actual capability."""
+        kernel's actual capability.
+
+        Every iteration's result is retained and synced by a (tiny)
+        host fetch: on the tunnelled platform ``block_until_ready`` can
+        return before execution completes, and executions whose outputs
+        are dropped are not reliably timed — fetching one row of each
+        result is the only sync that cannot lie (A/B vs the old
+        block-the-last-result loop: 117.4k vs 120.6k solves/s, i.e.
+        the legacy number was ~3% optimistic)."""
         c, ok = run()   # warmup / compile
-        c.block_until_ready()
+        np.asarray(c[:1])
         frac_ok = float(np.asarray(ok[:, :, 0]).all(axis=1).mean())
         n_iter = int(os.environ.get("BENCH_ITERS", 2))
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            for _ in range(n_iter):
-                c, ok = run()
-            c.block_until_ready()
+            outs = [run() for _ in range(n_iter)]
+            for cc, _ in outs:
+                np.asarray(cc[:1])
             best = min(best, (time.perf_counter() - t0) / n_iter)
         return best, frac_ok
 

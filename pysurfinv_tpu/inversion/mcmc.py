@@ -50,11 +50,13 @@ class ChainConfig(NamedTuple):
     #   ^ target flat batch per retry round (env override for A/B runs)
     #   (batched sampler): stage s of the compacted retry pyramid draws
     #   W_s = clamp(propose_flat // M_s, 1, 64) candidates per lane per
-    #   round.  At full lane count W = 1 (typical lanes pass in 1-2
-    #   rounds; measured 55 ms/step at 1920 homogeneous lanes), while
-    #   the compacted unfound tail goes WIDE: a pathological lane with
-    #   a near-unsatisfiable prior burns its whole ~600-draw budget
-    #   every step, and at W = 64 that costs ~10 rounds instead of 600
+    #   round.  At full lane count W = 1 — the in-chain prior pass rate
+    #   is ~55% (measured on real Cascadia chains), isgood is
+    #   compute-bound at 1920 lanes, and W = 4 measured SLOWER end to
+    #   end (wasted candidate evaluations cost real time) — while the
+    #   compacted unfound tail goes WIDE: a pathological lane with a
+    #   near-unsatisfiable prior burns its whole ~600-draw budget every
+    #   step, and at W = 64 that costs ~10 rounds instead of 600
     #   sequential prior-graph executions.  Results are bit-identical
     #   for any width (see _propose_batched).
 
@@ -120,10 +122,10 @@ def _propose_batched(keys, thetas, spec_b, ctx_b, isgood, cfg: ChainConfig,
 
     The vmapped retry loop runs until EVERY lane has a prior-accepted
     proposal: expected rounds ~ ln(N)/p for prior pass rate p, while
-    the per-lane work floor is ~1/p — at the measured in-chain pass
-    rate (~13% on the Cascadia fixture) a 1920-lane step wastes ~4-5x
-    the floor, and the proposal loop dominates real sampling (measured
-    946 ms vs 25 ms for the batched forward).  Here, whenever the
+    the per-lane work floor is ~1/p — the all-lanes loop wastes the
+    gap on finished lanes (in-chain pass rate measured ~55% on real
+    Cascadia chains; proposals are ~1/3 of step time at 1920 lanes,
+    docs/PERF_NOTES.md).  Here, whenever the
     unfound tail fits a 4x smaller buffer, it is compacted (argsort on
     the found flag + gather) and the loop continues at that size, so
     finished lanes stop consuming ``isgood`` evaluations.
@@ -287,7 +289,8 @@ def make_chain_kernel(isgood, chi_sqr, cfg: ChainConfig):
     return run
 
 
-def make_segmented_sampler(isgood, chi_sqr_batch, cfg: ChainConfig):
+def make_segmented_sampler(isgood, chi_sqr_batch, cfg: ChainConfig,
+                           aux_init=None):
     """Init/segment pair behind :func:`make_batched_sampler`.
 
     Splitting the time-major scan into segments enables mid-chain
@@ -304,9 +307,19 @@ def make_segmented_sampler(isgood, chi_sqr_batch, cfg: ChainConfig):
     per run — a separate init program duplicating the forward measured
     ~15 s of host tracing plus a second large XLA program.
 
+    ``aux_init``: optional ``(spec_b, ctx_b) -> array`` building the
+    initial per-lane auxiliary state.  When set, ``chi_sqr_batch`` is
+    called as ``chi(thetas, ctx_b, aux)`` and must return
+    ``(misfit, chi, L, aux')``; ``aux`` always carries the LAST
+    EVALUATED value
+    (accepted or not) — the warm-start contract of
+    ``surf_forward_batch(c_warm=...)``: the previous evaluation's roots
+    seed the next bracket, and zeros mean "cold".
+
     Returns ``(init_fn, segment_fn)``:
       init_fn(lane_keys, spec_b, ctx_b, theta_init_b, use_init_b)
-        -> carry                   carry = (theta, misfit, chi, L);
+        -> carry                   carry = (theta, misfit, chi, L)
+                                   (+ aux when ``aux_init`` is set);
                                    misfit/chi/L are zeros until row 0
                                    evaluates them
       segment_fn(carry, lane_keys, spec_b, ctx_b, s0, n_steps)
@@ -315,12 +328,14 @@ def make_segmented_sampler(isgood, chi_sqr_batch, cfg: ChainConfig):
                                    (``n_steps`` static, ``s0`` traced)
     """
 
-    def eval_all(thetas, ctx_b):
+    def eval_all(thetas, ctx_b, aux):
         if cfg.priori:
             N = thetas.shape[0]
             z = jnp.zeros((N,), thetas.dtype)
-            return z, z, jnp.ones((N,), thetas.dtype)
-        return chi_sqr_batch(thetas, ctx_b)
+            return z, z, jnp.ones((N,), thetas.dtype), aux
+        if aux_init is None:
+            return (*chi_sqr_batch(thetas, ctx_b), aux)
+        return chi_sqr_batch(thetas, ctx_b, aux)
 
     def init_fn(lane_keys, spec_b, ctx_b, theta_init_b, use_init_b):
         CL = cfg.chain_len
@@ -337,14 +352,17 @@ def make_segmented_sampler(isgood, chi_sqr_batch, cfg: ChainConfig):
         theta = jax.vmap(init_lane)(lane_keys, spec_b, ctx_b,
                                     theta_init_b, use_init_b)
         z = jnp.zeros((theta.shape[0],), dtype)
-        return (theta, z, z, z)
+        if aux_init is None:
+            return (theta, z, z, z)
+        return (theta, z, z, z, aux_init(spec_b, ctx_b))
 
     def segment_fn(carry, lane_keys, spec_b, ctx_b, s0, n_steps):
         N = spec_b.theta0.shape[0]
         dtype = spec_b.theta0.dtype
 
         def step(carry, r):
-            theta0, m0, chi0, L0 = carry
+            theta0, m0, chi0, L0, *aux = carry
+            aux0 = aux[0] if aux else None
             at_init = r == 0  # row 0 = evaluate-the-start-model row
             k_prop = jax.vmap(lambda lk: jax.random.fold_in(lk, 2 * r))(
                 lane_keys)
@@ -356,8 +374,8 @@ def make_segmented_sampler(isgood, chi_sqr_batch, cfg: ChainConfig):
                 row = jnp.concatenate(
                     [jnp.zeros((N, 1), dtype), Lcol,
                      jnp.ones((N, 1), dtype), theta1], axis=1)
-                return (theta1, m0, chi0, L0), row
-            m1, chi1, L1 = eval_all(theta1, ctx_b)
+                return (theta1, m0, chi0, L0, *aux), row
+            m1, chi1, L1, aux1 = eval_all(theta1, ctx_b, aux0)
             u = jax.vmap(lambda lk: jax.random.uniform(
                 jax.random.fold_in(lk, 2 * r + 1), dtype=dtype))(lane_keys)
             accept = (chi1 < chi0) | (u > 1.0 - jnp.exp(-(chi1 - chi0) / 2))
@@ -369,7 +387,8 @@ def make_segmented_sampler(isgood, chi_sqr_batch, cfg: ChainConfig):
             new = (jnp.where(acc, theta1, theta0),
                    jnp.where(accept, m1, m0),
                    jnp.where(accept, chi1, chi0),
-                   jnp.where(accept, L1, L0))
+                   jnp.where(accept, L1, L0),
+                   *((aux1,) if aux else ()))
             return new, row
 
         return lax.scan(step, carry, s0 + jnp.arange(n_steps))

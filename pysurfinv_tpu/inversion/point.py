@@ -149,8 +149,11 @@ class Point:
 
         if sampler == "batched":
             chi_b = self._compiled_chi_sqr_batch(cm, periods, wave)
+            P = len(np.asarray(self.obs["T"]))
             init_fn, seg_fn = make_segmented_sampler(
-                lambda th, psi: cm.isgood(th, psi), chi_b, cfg)
+                lambda th, psi: cm.isgood(th, psi), chi_b, cfg,
+                aux_init=lambda spec_b, ctx_b: jnp.zeros(
+                    (spec_b.theta0.shape[0], P), spec_b.theta0.dtype))
             N = n_chains
             bcast = lambda x: jnp.broadcast_to(  # noqa: E731
                 x, (N,) + x.shape)
@@ -257,24 +260,26 @@ class Point:
         """
         import jax
         import jax.numpy as jnp
-        from pysurfinv_tpu.ops.dispersion import (SurfConfig,
-                                                  surf_forward_batch)
+        from pysurfinv_tpu.ops.dispersion import surf_forward_batch
 
         mk = jax.vmap(self._misfit_kernel())
-        # MCMC observations are dense in period, so the warm-start
-        # window can be much tighter than the conservative library
-        # default (nscan=24/backoff=6/coarse_first=8 validated: ok and
-        # roots identical to the wide window on the Cascadia families)
-        scfg = (solver_cfg or SurfConfig(nscan=24, warm_backoff=6,
-                                         coarse_first=8)
-                )._replace(nmodes=1, compute_group=False)
+        # one shared MCMC solver config (warm-root window sizing and
+        # rationale: parallel/grid.py mcmc_solver_cfg docstring)
+        from pysurfinv_tpu.parallel.grid import mcmc_solver_cfg
+        scfg = ((solver_cfg or mcmc_solver_cfg())
+                ._replace(nmodes=1, compute_group=False))
 
-        def chi_sqr_batch(thetas, psis):
+        def chi_sqr_batch(thetas, psis, c_warm=None):
             h, vp, vs, rho, qsi, nlay = cm.build_profile_batch(thetas, psis)
             c, _, okk = surf_forward_batch(h, vp, vs, rho, qsi, periods,
-                                           nlay, wave=wave, cfg=scfg)
+                                           nlay, wave=wave, cfg=scfg,
+                                           c_warm=c_warm)
             cP = jnp.where(okk[:, :, 0], c[:, :, 0], 0.0)
-            return mk(cP)
+            if c_warm is None:
+                return mk(cP)
+            # warm-root contract (make_segmented_sampler aux_init): the
+            # evaluation's own roots seed the next step's brackets
+            return (*mk(cP), cP)
 
         return chi_sqr_batch
 

@@ -426,6 +426,13 @@ layerClassDict = {
     "ReferenceMantle": ReferenceMantle,
     "OceanSedimentCascadia": OceanSedimentCascadia,
     "OceanMantleHybrid": OceanMantleHybrid,
+    # LayerName aliases: Model1D.toYML keys sections by prop["LayerName"]
+    # (models.py:66), which for the land classes differs from the class
+    # key above — without these, a saved land-model setting cannot be
+    # reloaded (PostPoint round trip).  The reference's layerClassDict
+    # (layers.py:553-570) has the same gap.
+    "LandSediment": Sediment,
+    "LandCrust": Crust,
 }
 
 

@@ -529,7 +529,8 @@ def _pallas_backend(cfg: SurfConfig):
 
 @partial(jax.jit, static_argnames=("wave", "cfg"))
 def surf_forward_batch(h, vp, vs, rho, qsinv, periods, nlay,
-                       wave: str = "rayleigh", cfg: SurfConfig = SurfConfig()):
+                       wave: str = "rayleigh", cfg: SurfConfig = SurfConfig(),
+                       c_warm=None):
     """Batched dispersion solve over a leading model axis.
 
     On TPU (or with ``cfg.backend`` forced) the secular-evaluation hot
@@ -541,11 +542,23 @@ def surf_forward_batch(h, vp, vs, rho, qsinv, periods, nlay,
     ``periods`` may be (P,) shared across the batch, or (B, P) per
     model (the padded per-grid-point period lists of
     ``parallel.grid.invert_grid``).
+
+    ``c_warm``: optional (B, P) previous-solution phase velocities (an
+    MCMC sampler's roots from the last evaluated proposal; 0 = unknown).
+    When given (fundamental mode, Pallas path), the per-period
+    bracketing collapses into ONE fused sweep seeded at
+    ``c_warm - warm_backoff*dc`` — replacing the cold first-period scan
+    and the sequential period chain.  Lanes whose window misses (root
+    drifted beyond the window, or c_warm = 0) fall back to the full
+    cold bracketing chain, so results match the cold path to Illinois
+    tolerance (~1e-5 km/s) for ANY c_warm.  The XLA fallback path
+    ignores it (same roots, cold brackets).
     """
     interp = _pallas_backend(cfg)
     if interp is not None:
         return _surf_forward_batch_fast(h, vp, vs, rho, qsinv, periods,
-                                        nlay, wave, cfg, interp)
+                                        nlay, wave, cfg, interp,
+                                        c_warm=c_warm)
     if periods.ndim == 2:
         return jax.vmap(
             lambda h_, vp_, vs_, rho_, q_, per_, n_: surf_forward(
@@ -559,7 +572,8 @@ def surf_forward_batch(h, vp, vs, rho, qsinv, periods, nlay,
 
 
 def _surf_forward_batch_fast(h, vp, vs, rho, qsinv, periods, nlay,
-                             wave, cfg: SurfConfig, interpret: bool):
+                             wave, cfg: SurfConfig, interpret: bool,
+                             c_warm=None):
     """Batched solver driving the fused Pallas secular kernel.
 
     Same three phases as :func:`surf_forward`, restructured so every
@@ -692,29 +706,37 @@ def _surf_forward_batch_fast(h, vp, vs, rho, qsinv, periods, nlay,
         w0 = dc if (narrow or coarse0 <= 1) else coarse0 * dc
         return [w0] + [dc] * (nmodes - 1)
 
-    t1 = periods2[:, 0]
-    c_init = jax.vmap(
-        lambda h_, vs_, q_, n_, t_: _initial_c(h_, vs_, q_, n_, t_, wave,
-                                               cfg)
-    )(h_eff, vs, qsinv, nlay, t1)
-    starts0 = jnp.broadcast_to(c_init[None], (nmodes, B)).astype(dtype)
-    lo0, mm0, ok0 = bracket_period(t1, starts0, cfg.nscan_first,
-                                   cfg.coarse_first, narrow=True)
-    if nmodes > 1:
-        ok0 = jax.vmap(_mode_chain, in_axes=1, out_axes=1)(ok0)
-
-    def step(carry, t):
-        c_start, alive = carry
-        lok, mmk, okk = bracket_period(t, c_start, cfg.nscan, cfg.coarse,
-                                       narrow=False)
-        okk = okk & alive
+    def cold_bracket():
+        """Standard phase 1: cold first-period scan + warm-started
+        period chain + rescue.  Returns (c_lo, mm, ok), each
+        (P, nmodes, B)."""
+        t1 = periods2[:, 0]
+        c_init = jax.vmap(
+            lambda h_, vs_, q_, n_, t_: _initial_c(h_, vs_, q_, n_, t_,
+                                                   wave, cfg)
+        )(h_eff, vs, qsinv, nlay, t1)
+        starts0 = jnp.broadcast_to(c_init[None], (nmodes, B)).astype(dtype)
+        lo0, mm0, ok0 = bracket_period(t1, starts0, cfg.nscan_first,
+                                       cfg.coarse_first, narrow=True)
         if nmodes > 1:
-            okk = jax.vmap(_mode_chain, in_axes=1, out_axes=1)(okk)
-        new_start = jnp.where(okk, lok - cfg.warm_backoff * dc, c_start)
-        return (new_start, okk), (lok, mmk, okk)
+            ok0 = jax.vmap(_mode_chain, in_axes=1, out_axes=1)(ok0)
 
-    if P > 1:
-        carry0 = (jnp.where(ok0, lo0 - cfg.warm_backoff * dc, starts0), ok0)
+        def step(carry, t):
+            c_start, alive = carry
+            lok, mmk, okk = bracket_period(t, c_start, cfg.nscan,
+                                           cfg.coarse, narrow=False)
+            okk = okk & alive
+            if nmodes > 1:
+                okk = jax.vmap(_mode_chain, in_axes=1, out_axes=1)(okk)
+            new_start = jnp.where(okk, lok - cfg.warm_backoff * dc,
+                                  c_start)
+            return (new_start, okk), (lok, mmk, okk)
+
+        if P == 1:
+            return lo0[None], mm0[None], ok0[None]
+
+        carry0 = (jnp.where(ok0, lo0 - cfg.warm_backoff * dc, starts0),
+                  ok0)
         _, (lor, mmr, okr) = lax.scan(step, carry0, periods2[:, 1:].T)
         c_lo = jnp.concatenate([lo0[None], lor], 0)    # (P, nmodes, B)
         mm = jnp.concatenate([mm0[None], mmr], 0)
@@ -753,10 +775,54 @@ def _surf_forward_batch_fast(h, vp, vs, rho, qsinv, periods, nlay,
                         [mm[:1], jnp.where(use, mm_c, mm[1:])], 0),
                     ok_new)
 
-        c_lo, mm, ok = lax.cond(jnp.all(ok), lambda x: x, _rescue,
-                                (c_lo, mm, ok))
+        return lax.cond(jnp.all(ok), lambda x: x, _rescue,
+                        (c_lo, mm, ok))
+
+    use_warm = c_warm is not None and nmodes == 1
+    if use_warm:
+        # ---- fused warm bracket: ONE sweep for all (period, model)
+        # lanes, seeded from the caller's previous roots.  Replaces the
+        # cold first-period scan (~74 probe rows) and the sequential
+        # per-period sweep chain (P-1 dependent launches) with a single
+        # (P*(nprobe+1), B) kernel call: per-step root drift in MCMC is
+        # small (measured on Cascadia chains: median 0.5*dc, p99
+        # 2.7*dc, max 7.3*dc per evaluated step), so a backoff/nscan
+        # window centred on the previous root almost always hits.
+        nprobe = max(cfg.nscan // cfg.coarse, 1)
+        step_w = cfg.coarse * dc
+        starts_w = (c_warm.T - cfg.warm_backoff * dc).astype(dtype)  # (P,B)
+        ladder = step_w * jnp.arange(nprobe + 1, dtype=dtype)
+        cs = (starts_w[:, None, :] + ladder[None, :, None]).reshape(-1, B)
+        tt = jnp.broadcast_to(periods2.T[:, None, :],
+                              (P, nprobe + 1, B)).reshape(-1, B)
+        F, bhs, mm_all = Fv(cs, tt, zero_mm(cs.shape))
+        sgn = _sign(F).reshape(P, nprobe + 1, B)
+        csr = cs.reshape(P, nprobe + 1, B)
+        bhs_r = bhs.reshape(P, nprobe + 1, B)
+        mm_r = mm_all.reshape(P, nprobe + 1, B)
+        cand = (sgn[:, :-1] != sgn[:, 1:]) & (csr[:, 1:] < bhs_r[:, 1:]
+                                              + 0.3)
+        w_found = jnp.any(cand, axis=1)                       # (P, B)
+        i = jnp.argmax(cand, axis=1)
+        tk0 = lambda a: jnp.take_along_axis(a, i[:, None], 1)[:, 0]
+        tk1 = lambda a: jnp.take_along_axis(a, (i + 1)[:, None], 1)[:, 0]
+        w_lo = tk0(csr)
+        w_found = w_found & (w_lo <= tk1(bhs_r)) & (c_warm.T > 0.05)
+        w_mm = tk1(mm_r)
+        # expand the nmodes=1 axis to match cold_bracket's layout
+        warm = (w_lo[:, None], w_mm[:, None], w_found[:, None])
+
+        def _fill_cold(wargs):
+            w_lo, w_mm, w_ok = wargs
+            c_lo, mm, ok = cold_bracket()
+            return (jnp.where(w_ok, w_lo, c_lo),
+                    jnp.where(w_ok, w_mm, mm), w_ok | ok, w_ok)
+
+        c_lo, mm, ok, from_warm = lax.cond(
+            jnp.all(warm[2]), lambda w: (*w, w[2]), _fill_cold, warm)
     else:
-        c_lo, mm, ok = lo0[None], mm0[None], ok0[None]
+        c_lo, mm, ok = cold_bracket()
+        from_warm = None
 
     # ---- phase 2: batched Illinois over (P*nmodes, B) lanes ----------
     KL = P * nmodes
@@ -765,11 +831,15 @@ def _surf_forward_batch_fast(h, vp, vs, rho, qsinv, periods, nlay,
     mm_l = mm.reshape(KL, B)
     ok_l = ok.reshape(KL, B)
 
-    # static per-(period, mode) bracket widths -> (KL, 1)
+    # static per-(period, mode) bracket widths -> (KL, 1); warm-seeded
+    # lanes always carry a coarse*dc bracket instead
     w_pm = ([_bracket_widths(cfg.coarse_first, True)]
             + [_bracket_widths(cfg.coarse, False)] * (P - 1))
     w_l = jnp.asarray([w for per in w_pm for w in per],
                       dtype).reshape(KL, 1)
+    if from_warm is not None:
+        w_l = jnp.where(from_warm.reshape(KL, B),
+                        jnp.asarray(cfg.coarse * dc, dtype), w_l)
     hi_l = jnp.broadcast_to(lo_l + w_l, lo_l.shape)
 
     if cfg.nnewton >= 1:

@@ -34,6 +34,138 @@ import time
 
 import numpy as np
 
+# ---- traced-program cache ------------------------------------------------
+# Tracing the batched segment program costs ~15-20 s of host time (the
+# grid build + priors + solver graph is large, and the proposal pyramid
+# traces it at several batch sizes).  The trace depends only on the
+# model *structure*, the point-class likelihood, and the solver/sampler
+# configs — NOT on parameter values, observations, or lane count (jit
+# re-specializes per shape under the same callable) — so one traced
+# program serves every tile of a large grid and every repeat call in a
+# process.  Keyed LRU below; values are (init_all, seg_all) as built by
+# ``_batched_programs``.
+_PROGRAM_CACHE = {}
+_PROGRAM_CACHE_MAX = 8
+
+
+def _structure_key(cm):
+    """Hashable fingerprint of everything a CompiledModel bakes into the
+    traced graph as a constant: layer classes and static parms (theta /
+    psi slots masked — their values flow in as arguments), info entries
+    not routed through psi, frozen fine-grid sizes, and the node/group
+    layout."""
+    theta_tags = [f"<theta{i}>" for i in range(len(cm._slots))]
+    psi_tags = [f"<psi{j}>" for j in range(len(cm._const_slots))]
+    parms = cm._substitute(theta_tags, psi_tags)
+    info = {k: ("<psi>" if k in ("topo", "lithoAge") else v)
+            for k, v in cm.info.items()}
+    return (type(cm.model).__name__,
+            tuple(type(l).__name__ for l in cm._layers),
+            repr(parms), repr(sorted(info.items(), key=str)),
+            tuple(cm._nfine), cm.L, cm._use_ref,
+            cm.grp_nodes.tobytes(), cm.name_nodes.tobytes())
+
+
+def mcmc_solver_cfg():
+    """The dispersion-solver configuration of the MCMC samplers —
+    ONE definition so host recomputations (tests, PostPoint checks)
+    can reproduce recorded misfits exactly on the XLA path.
+
+    Window sizing: the sampler seeds every period's bracket at
+    (previous evaluated root - warm_backoff*dc) and sweeps nscan*dc
+    (ops/dispersion.py c_warm).  Per-step root drift measured on real
+    Cascadia chains (8192 consecutive evaluated pairs x 18 periods):
+    signed drift within [-6.9, +7.2]*dc — so [-12, +20]*dc misses
+    ~never and the all-lanes rescue cond stays cold (at [-6, +18] the
+    tail fired it every step, costing warm + cold + rescue).
+    nbisect=11: Illinois from a 2*dc bracket reaches the f32 root
+    noise floor (validated vs 40 iterations, docs/PERF_NOTES.md).
+    """
+    from pysurfinv_tpu.ops.dispersion import SurfConfig
+    return SurfConfig(nmodes=1, compute_group=False, nscan=32,
+                      warm_backoff=12, nbisect=11, coarse_first=8)
+
+
+def _batched_programs(cm, pcls, cfg, wave, scfg, mesh):
+    """(init_all, seg_all) for the batched sampler, traced at most once
+    per (structure, likelihood, config, mesh) per process."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from pysurfinv_tpu.inversion.mcmc import make_segmented_sampler
+    from pysurfinv_tpu.ops.dispersion import surf_forward_batch
+
+    key = (_structure_key(cm),
+           f"{pcls.__module__}.{pcls.__qualname__}",
+           cfg, wave, scfg,
+           tuple(int(d.id) for d in mesh.devices.flat),
+           bool(jax.config.jax_enable_x64))
+    hit = _PROGRAM_CACHE.pop(key, None)
+    if hit is not None:
+        _PROGRAM_CACHE[key] = hit  # LRU refresh
+        return hit
+
+    misfit_from_c = pcls._misfit_from_c
+
+    def isgood(theta, ctx):
+        return cm.isgood(theta, ctx[0])
+
+    def chi_sqr_batch(thetas, ctx_b, c_warm):
+        psi_b, per_b, c_b, u_b, m_b = ctx_b
+        h, vp, vs, rho, qsi, nlay = cm.build_profile_batch(thetas, psi_b)
+        c, _, okk = surf_forward_batch(h, vp, vs, rho, qsi, per_b,
+                                       nlay, wave=wave, cfg=scfg,
+                                       c_warm=c_warm)
+        cP = jnp.where(okk[:, :, 0], c[:, :, 0], 0.0)
+        m, chi, L = jax.vmap(
+            lambda cp, t, oc, u, m:
+            misfit_from_c(cp, t, oc, u, m, valid=m))(
+                cP, per_b, c_b, u_b, m_b)
+        # cP of THIS evaluation seeds the next step's brackets (zeros
+        # where the solve failed -> those lanes re-bracket cold)
+        return m, chi, L, cP
+
+    init_fn, seg_fn = make_segmented_sampler(
+        isgood, chi_sqr_batch, cfg,
+        aux_init=lambda spec_b, ctx_b: jnp.zeros_like(ctx_b[1]))
+
+    # check_vma=False where sharded: the sampler's scan/while carries
+    # start from unvarying literals (e.g. the secular recursion's e1
+    # seed), which the varying-manual-axes checker rejects even though
+    # the program is purely lane-parallel (no cross-device
+    # communication inside).
+    n_dev = mesh.devices.size
+    pp = P("points")
+    if n_dev > 1:
+        init_all = jax.shard_map(
+            init_fn, mesh=mesh, in_specs=(pp,) * 5,
+            out_specs=pp, check_vma=False)
+    else:
+        init_all = init_fn
+    init_all = jax.jit(init_all)
+
+    seg_cache = {}
+
+    def seg_all(n):
+        if n not in seg_cache:
+            f = (lambda carry, lk, sp, cx, s0, n=n:
+                 seg_fn(carry, lk, sp, cx, s0, n))
+            if n_dev > 1:
+                f = jax.shard_map(
+                    f, mesh=mesh,
+                    in_specs=(pp, pp, pp, pp, P()),
+                    out_specs=(pp, P(None, "points")),
+                    check_vma=False)
+            seg_cache[n] = jax.jit(f)
+        return seg_cache[n]
+
+    entry = (init_all, seg_all)
+    _PROGRAM_CACHE[key] = entry
+    while len(_PROGRAM_CACHE) > _PROGRAM_CACHE_MAX:
+        _PROGRAM_CACHE.pop(next(iter(_PROGRAM_CACHE)))
+    return entry
+
 
 def invert_grid(points, lonlats, outdir="mcdata", runN=24000, chainL=800,
                 seed=42, priori=False, wave="rayleigh", mesh=None,
@@ -103,16 +235,11 @@ def invert_grid(points, lonlats, outdir="mcdata", runN=24000, chainL=800,
     # kernels x sampler), and remote-compile services can time out on
     # them; once one compile lands, every later run (and retry) is
     # instant.  No-op if the session already configured a cache.
-    if not jax.config.jax_compilation_cache_dir:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.expanduser("~/.cache/pysurfinv_jit"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs",
-                          1.0)
+    from pysurfinv_tpu.utils import configure_jit_cache
+    configure_jit_cache()
 
     from pysurfinv_tpu.inversion.compiled import BrownianSpec, CompiledModel
-    from pysurfinv_tpu.inversion.mcmc import (ChainConfig,
-                                              make_chain_kernel,
-                                              make_segmented_sampler)
+    from pysurfinv_tpu.inversion.mcmc import ChainConfig, make_chain_kernel
     from pysurfinv_tpu.parallel.mesh import points_mesh
 
     if priori and outdir.split("_")[-1] != "priori":
@@ -174,10 +301,13 @@ def invert_grid(points, lonlats, outdir="mcdata", runN=24000, chainL=800,
     misfit_from_c = pcls._misfit_from_c
 
     # ---- per-point parameter stacks ------------------------------------
-    specs = [cm.spec_of(p.initMod) for p in points]
+    from pysurfinv_tpu.utils import host_eager
+    with host_eager():  # pure host walks; keep eager ops off the tunnel
+        specs = [cm.spec_of(p.initMod) for p in points]
+        psi_np = np.stack([cm.psi_of(p.initMod) for p in points])
     spec = BrownianSpec(*[jnp.stack([getattr(s, f) for s in specs])
                           for f in BrownianSpec._fields])
-    psi = jnp.stack([cm.psi_of(p.initMod) for p in points])
+    psi = jnp.asarray(psi_np)
 
     # ---- per-point observations (padded to the longest period list) ----
     Ts = [np.asarray(p.obs["T"], dtype=float) for p in points]
@@ -229,29 +359,8 @@ def invert_grid(points, lonlats, outdir="mcdata", runN=24000, chainL=800,
     put = lambda x: jax.device_put(x, shard)  # noqa: E731
 
     if sampler == "batched":
-        from pysurfinv_tpu.ops.dispersion import (SurfConfig,
-                                                  surf_forward_batch)
-
-        # dense MCMC period lists -> tight warm-start window (validated
-        # against the wide default window: ok and roots identical on
-        # the shipped model families)
-        scfg = SurfConfig(nmodes=1, compute_group=False, nscan=24,
-                          warm_backoff=6, coarse_first=8)
-
-        def chi_sqr_batch(thetas, ctx_b):
-            psi_b, per_b, c_b, u_b, m_b = ctx_b
-            h, vp, vs, rho, qsi, nlay = cm.build_profile_batch(
-                thetas, psi_b)
-            c, _, okk = surf_forward_batch(h, vp, vs, rho, qsi, per_b,
-                                           nlay, wave=wave, cfg=scfg)
-            cP = jnp.where(okk[:, :, 0], c[:, :, 0], 0.0)
-            return jax.vmap(
-                lambda cp, t, oc, u, m:
-                misfit_from_c(cp, t, oc, u, m, valid=m))(
-                    cP, per_b, c_b, u_b, m_b)
-
-        init_fn, seg_fn = make_segmented_sampler(isgood, chi_sqr_batch,
-                                                 cfg)
+        init_all, seg_all = _batched_programs(cm, pcls, cfg, wave,
+                                              mcmc_solver_cfg(), mesh)
 
         # lanes = (point, chain), point-major, sharded on points.
         # Per-lane keys are a pure function of the GLOBAL lane index,
@@ -265,35 +374,6 @@ def invert_grid(points, lonlats, outdir="mcdata", runN=24000, chainL=800,
         key0 = jax.random.PRNGKey(seed)
         lane_keys = put(jax.vmap(lambda i: jax.random.fold_in(key0, i))(
             jnp.arange((K + pad) * n_chains) + _lane_offset))
-
-        # check_vma=False where sharded: the sampler's scan/while
-        # carries start from unvarying literals (e.g. the secular
-        # recursion's e1 seed), which the varying-manual-axes checker
-        # rejects even though the program is purely lane-parallel (no
-        # cross-device communication inside).
-        pp = P("points")
-        if n_dev > 1:
-            init_all = jax.shard_map(
-                init_fn, mesh=mesh, in_specs=(pp,) * 5,
-                out_specs=pp, check_vma=False)
-        else:
-            init_all = init_fn
-        init_all = jax.jit(init_all)
-
-        seg_cache = {}
-
-        def seg_all(n):
-            if n not in seg_cache:
-                f = (lambda carry, lk, sp, cx, s0, n=n:
-                     seg_fn(carry, lk, sp, cx, s0, n))
-                if n_dev > 1:
-                    f = jax.shard_map(
-                        f, mesh=mesh,
-                        in_specs=(pp, pp, pp, pp, P()),
-                        out_specs=(pp, P(None, "points")),
-                        check_vma=False)
-                seg_cache[n] = jax.jit(f)
-            return seg_cache[n]
 
         def _transient(e):
             """Device/infra faults worth retrying (the tunnelled chip
@@ -334,9 +414,28 @@ def invert_grid(points, lonlats, outdir="mcdata", runN=24000, chainL=800,
 
         with mesh:
             s = 0
-            row_segs = []
+            n_done = 0      # completed segments (testing hook)
+            row_segs = []   # time-major segment rows (checkpoint payload)
+            tracks_buf = None  # lane-major (N, chainL, w) output buffer
+            n_lanes_tot = (K + pad) * n_chains
+
+            def _store(host_rows, s_after):
+                """Transpose one fetched segment into the lane-major
+                output buffer.  Doing it per segment keeps the copy
+                inside the pipeline slack (the device is running the
+                next segment) — one big end-of-run transpose measured
+                ~18 s on a cold-page host vs ~1 s amortized here."""
+                nonlocal tracks_buf
+                if tracks_buf is None:
+                    tracks_buf = np.empty(
+                        (n_lanes_tot, chainL, host_rows.shape[-1]),
+                        host_rows.dtype)
+                n0 = host_rows.shape[0]
+                tracks_buf[:, s_after - n0:s_after] = np.moveaxis(
+                    host_rows, 0, 1)
+
             carry = first = None
-            ck_meta = {"fmt": 2, "seed": seed + _lane_offset,
+            ck_meta = {"fmt": 3, "seed": seed + _lane_offset,
                        "runN": runN, "chainL": chainL, "K": K,
                        "n_lanes": (K + pad) * n_chains}
             if resume and checkpoint and os.path.exists(checkpoint):
@@ -349,9 +448,14 @@ def invert_grid(points, lonlats, outdir="mcdata", runN=24000, chainL=800,
                         f"current {ck_meta}; delete it or rerun with "
                         f"the original settings")
                 s = int(ck["s"])
+                n_carry = sum(1 for k in ck.files
+                              if k.startswith("carry"))
                 carry = tuple(jnp.asarray(ck[f"carry{i}"])
-                              for i in range(4))
-                row_segs = [np.asarray(ck["rows"])] if s > 0 else []
+                              for i in range(n_carry))
+                if s > 0:
+                    ck_rows = np.asarray(ck["rows"])
+                    row_segs = [ck_rows]
+                    _store(ck_rows, s)
                 if verbose:
                     print(f"invert_grid: resumed at step {s}")
             resumed = carry is not None
@@ -383,8 +487,10 @@ def invert_grid(points, lonlats, outdir="mcdata", runN=24000, chainL=800,
             sync = ((s, jax.tree.map(np.asarray, carry)) if resumed
                     else None)
             pending = []  # (n_kept, s_after, rows_dev, carry_dev)
+            seg_debug = os.environ.get("PYSURFINV_SEG_TIMES") == "1"
             while s < chainL or pending:
                 try:
+                    t_disp = time.time()
                     while s < chainL and len(pending) < depth:
                         n = min(seg, chainL - s)
                         carry, rows = seg_all(seg)(
@@ -392,10 +498,16 @@ def invert_grid(points, lonlats, outdir="mcdata", runN=24000, chainL=800,
                             jnp.asarray(s, jnp.int32))
                         pending.append((n, s + n, rows, carry))
                         s += n
+                    t_fetch = time.time()
                     n0, s_after, rows0, carry0 = pending[0]
                     host_rows = np.asarray(rows0)[:n0]
                     host_carry = jax.tree.map(np.asarray, carry0)
                     pending.pop(0)
+                    if seg_debug:
+                        t_now = time.time()
+                        print(f"  seg->{s_after}: dispatch "
+                              f"{t_fetch - t_disp:.2f}s fetch "
+                              f"{t_now - t_fetch:.2f}s")
                 except Exception as e:  # noqa: BLE001
                     # the segment program is the big one; fall back only
                     # if it was rejected before any segment completed
@@ -425,9 +537,11 @@ def invert_grid(points, lonlats, outdir="mcdata", runN=24000, chainL=800,
                     continue
                 any_done = True
                 tries = 0
-                row_segs.append(host_rows)
+                _store(host_rows, s_after)
+                n_done += 1
                 sync = (s_after, host_carry)
                 if checkpoint:
+                    row_segs.append(host_rows)
                     tmp = checkpoint + ".tmp.npz"
                     with open(tmp, "wb") as fh:
                         np.savez(fh, s=s_after,
@@ -437,16 +551,16 @@ def invert_grid(points, lonlats, outdir="mcdata", runN=24000, chainL=800,
                                     for i, c in enumerate(host_carry)})
                     os.replace(tmp, checkpoint)
                 if (_abort_after_segments is not None
-                        and len(row_segs) >= _abort_after_segments
+                        and n_done >= _abort_after_segments
                         and s_after < chainL):
                     # testing hook: simulate the process dying mid-run
                     raise KeyboardInterrupt("aborted after "
-                                            f"{len(row_segs)} segments")
+                                            f"{n_done} segments")
         _mark("segments")
-        # row 0 of the first segment is the init-evaluation row
-        rows = np.concatenate(row_segs, axis=0)  # (chainL, N, 3+k)
-        tracks = np.moveaxis(rows, 0, 1)
-        tracks = tracks.reshape(K + pad, n_chains, chainL, -1)[:K]
+        # row 0 of the first segment is the init-evaluation row;
+        # tracks_buf is already lane-major (point-major lanes), so this
+        # reshape is a view
+        tracks = tracks_buf.reshape(K + pad, n_chains, chainL, -1)[:K]
     else:
         kernel = make_chain_kernel(isgood, chi_sqr, cfg)
 
@@ -484,12 +598,14 @@ def invert_grid(points, lonlats, outdir="mcdata", runN=24000, chainL=800,
             invMeta={"pid": pid, "chainL": chainL})
         return f"{outdir}/{pid}.npz"
 
-    if len(lonlats) > 4:
-        from concurrent.futures import ThreadPoolExecutor
-        with ThreadPoolExecutor(max_workers=8) as pool:
-            paths = list(pool.map(_write, enumerate(lonlats)))
-    else:
-        paths = [_write(kl) for kl in enumerate(lonlats)]
+    from pysurfinv_tpu.utils import host_eager
+    with host_eager():  # toYML walks layers eagerly; keep it off the tunnel
+        if len(lonlats) > 4:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=8) as pool:
+                paths = list(pool.map(_write, enumerate(lonlats)))
+        else:
+            paths = [_write(kl) for kl in enumerate(lonlats)]
     if verbose:
         _mark("write_npz")
         prev = t0

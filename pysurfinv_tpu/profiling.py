@@ -59,18 +59,28 @@ def throughput(fn, n_units: int, unit: str = "solves", iters: int = 2,
     Compiles/warms up once, then times ``windows`` windows of ``iters``
     calls each and reports the best — the same methodology as
     ``bench.py`` (the tunnelled chip's effective clock can drift
-    between windows).
+    between windows).  All iteration results are retained and synced by
+    a host fetch of their first element: on tunnelled platforms
+    ``block_until_ready`` can return before execution completes, and
+    executions whose outputs are dropped are not reliably timed.
     """
     import jax
+    import numpy as np
 
-    jax.block_until_ready(fn())
+    def _force(r):
+        for leaf in jax.tree.leaves(r):
+            if getattr(leaf, "ndim", 0) > 0:
+                np.asarray(leaf[:1])
+            else:
+                np.asarray(leaf)
+
+    _force(fn())
     times = []
     for _ in range(windows):
         t0 = time.perf_counter()
-        r = None
-        for _ in range(iters):
-            r = fn()
-        jax.block_until_ready(r)
+        rs = [fn() for _ in range(iters)]
+        for r in rs:
+            _force(r)
         times.append((time.perf_counter() - t0) / iters)
     best = min(times)
     return Throughput(value=n_units / best, unit=unit, best_s=best,

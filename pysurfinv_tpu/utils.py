@@ -24,6 +24,37 @@ def _host_cpu_device():
     return _HOST_CPU or None
 
 
+def configure_jit_cache(path=None):
+    """Point jax at a persistent compile cache, keyed per machine.
+
+    XLA:CPU executables are AOT-compiled for the build host's exact CPU
+    features; restoring a VM image on different hardware makes every
+    load fail (cpu_aot_loader feature-mismatch errors) and silently
+    recompile — measured ~70 s of spurious host compiles per fresh
+    process.  Suffixing the cache directory with a CPU-feature hash
+    keeps each machine's entries separate.  No-op if the session
+    already configured a cache.  Returns the directory used (or None).
+    """
+    import hashlib
+    import os
+
+    import jax
+
+    if jax.config.jax_compilation_cache_dir:
+        return jax.config.jax_compilation_cache_dir
+    base = path or os.path.expanduser("~/.cache/pysurfinv_jit")
+    try:
+        with open("/proc/cpuinfo") as fh:
+            flags = next((ln for ln in fh if ln.startswith("flags")), "")
+        tag = hashlib.sha1(flags.encode()).hexdigest()[:8]
+    except OSError:
+        tag = "default"
+    cache_dir = f"{base}_{tag}"
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    return cache_dir
+
+
 @contextlib.contextmanager
 def host_eager():
     """Pin eager (non-jit) jnp ops inside the block to the local CPU.

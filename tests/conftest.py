@@ -8,6 +8,10 @@ import sys
 # session environment may point JAX at a tunnelled TPU in a way that
 # ignores JAX_PLATFORMS — testing.force_cpu is the one robust switch.
 os.environ.setdefault("PYSURFINV_SCAN_UNROLL", "1")  # keep compiles fast
+# narrow proposal rounds: tests run tiny lane counts, where the default
+# 2048-wide flat budget unrolls a 64-draw key walk into every compile;
+# results are bit-identical for any width (see mcmc._propose_batched)
+os.environ.setdefault("PYSURFINV_PROPOSE_FLAT", "8")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

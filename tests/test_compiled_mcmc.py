@@ -50,7 +50,6 @@ def cm(point):
     return CompiledModel(point.initMod)
 
 
-@pytest.mark.quick
 def test_compiled_forward_matches_host(point, cm):
     """The frozen-structure jit path reproduces the host object path."""
     import jax.numpy as jnp
@@ -88,7 +87,6 @@ def test_isgood_compiled_vs_host(point, cm):
     assert agree >= n - 1  # boundary cases may differ by float details
 
 
-@pytest.mark.quick
 def test_mcinv_mp_end_to_end(point, tmp_path):
     """Tiny vmapped inversion -> reference npz format -> PostPoint."""
     from pysurfinv_tpu.inversion.point import PostPoint

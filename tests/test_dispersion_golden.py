@@ -111,7 +111,6 @@ def test_fundamental_tight(rayleigh, love, golden):
         assert np.abs(u[:, 0] - refu).max() / refu.max() < 5e-5
 
 
-@pytest.mark.quick
 def test_sparse_period_list_rescue(rayleigh, golden, eus_model):
     """Sparse period lists must not fail (round-2 rescue pass).
 
@@ -139,7 +138,6 @@ def test_sparse_period_list_rescue(rayleigh, golden, eus_model):
                                rtol=0, atol=3e-6)
 
 
-@pytest.mark.quick
 def test_sparse_period_list_rescue_batch_fast(eus_model):
     """The fused-kernel batch path rescues sparse period lists too."""
     m = eus_model

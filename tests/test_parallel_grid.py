@@ -150,6 +150,7 @@ def test_point_class_misfit_reaches_sampler(invdir):
     import jax.numpy as jnp
     from pysurfinv_tpu.inversion.compiled import CompiledModel
     from pysurfinv_tpu.inversion.point import Point, PointCascadia
+    from pysurfinv_tpu.parallel.grid import mcmc_solver_cfg
 
     pts, _ = _mk_points()
     p = pts[0]
@@ -157,9 +158,12 @@ def test_point_class_misfit_reaches_sampler(invdir):
     tr = np.load(f"{invdir}/229_46.npz", allow_pickle=True)["mcTrack"]
     dev = tr[:, 0]
 
+    # recompute with the sampler's own solver config (mcmc_solver_cfg):
+    # the default SurfConfig refines brackets with one more Illinois
+    # iteration, which moves roots at the ~1e-6 km/s refinement floor
     periods = jnp.asarray(np.array(PERIODS, float))
-    cPs = jax.jit(jax.vmap(lambda th: cm.forward(th, periods)))(
-        jnp.asarray(tr[:, 3:]))
+    cPs = jax.jit(jax.vmap(lambda th: cm.forward(
+        th, periods, cfg=mcmc_solver_cfg())))(jnp.asarray(tr[:, 3:]))
     T, obs_c, uncer, obs_m = p._obs_arrays()
     casc = np.asarray(jax.vmap(
         lambda cp: PointCascadia._misfit_from_c(cp, T, obs_c, uncer,
