@@ -80,10 +80,18 @@ def mcmc_solver_cfg():
     tail fired it every step, costing warm + cold + rescue).
     nbisect=11: Illinois from a 2*dc bracket reaches the f32 root
     noise floor (validated vs 40 iterations, docs/PERF_NOTES.md).
+
+    The PYSURFINV_MCMC_* env knobs exist for on-chip A/B runs only;
+    the committed defaults are the validated configuration.
     """
     from pysurfinv_tpu.ops.dispersion import SurfConfig
-    return SurfConfig(nmodes=1, compute_group=False, nscan=32,
-                      warm_backoff=12, nbisect=11, coarse_first=8)
+    e = os.environ.get
+    return SurfConfig(nmodes=1, compute_group=False,
+                      nscan=int(e("PYSURFINV_MCMC_NSCAN", 32)),
+                      warm_backoff=int(e("PYSURFINV_MCMC_BACKOFF", 12)),
+                      nbisect=int(e("PYSURFINV_MCMC_NBISECT", 11)),
+                      coarse=int(e("PYSURFINV_MCMC_COARSE", 2)),
+                      coarse_first=8)
 
 
 def _batched_programs(cm, pcls, cfg, wave, scfg, mesh):

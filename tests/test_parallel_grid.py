@@ -13,6 +13,23 @@ pytestmark = pytest.mark.slow  # heavy tier; excluded by -m "not slow"
 from tests.test_compiled_mcmc import LOCAL, PERIODS, SETTING, UNCERS, VELS  # noqa: F401
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _no_persistent_cache_writes():
+    """Skip persistent-cache WRITES of this module's large sharded programs.
+
+    Only relevant when PYSURFINV_TEST_JIT_CACHE opts back into the
+    persistent cache (see tests/conftest.py for the jaxlib 0.9.0
+    XLA:CPU (de)serialization segfault this guards against):
+    ``LoadedExecutable.serialize()`` of the big segment executables is
+    the write-path face of that bug, so never persist them.
+    """
+    import jax
+    old = jax.config.jax_persistent_cache_min_compile_time_secs
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e9)
+    yield
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", old)
+
+
 def _mk_points():
     from pysurfinv_tpu.inversion.point import PointCascadia
     pts, lls = [], []
