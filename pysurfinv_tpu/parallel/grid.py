@@ -91,6 +91,7 @@ def mcmc_solver_cfg():
                       warm_backoff=int(e("PYSURFINV_MCMC_BACKOFF", 12)),
                       nbisect=int(e("PYSURFINV_MCMC_NBISECT", 11)),
                       coarse=int(e("PYSURFINV_MCMC_COARSE", 2)),
+                      nnewton=int(e("PYSURFINV_MCMC_NNEWTON", 0)),
                       coarse_first=8)
 
 

@@ -1,0 +1,98 @@
+#!/usr/bin/env python3
+"""Same-process A/B harness for the grid-sampler configuration.
+
+The tunnelled chip's effective clock drifts up to ~1.5x BETWEEN
+processes (docs/PERF_NOTES.md), so solver-knob comparisons are only
+valid within one process.  This driver runs a list of (label, env,
+workload) variants back to back, each twice (first call pays
+trace/compile; the second is steady state), and prints one summary
+table at the end.
+
+    python scripts/ab_grid.py                 # default ladder
+    VARIANTS=base,nnewton2 python scripts/ab_grid.py
+
+Workloads reuse the README 64-point x 24,000-sample row's fixtures.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np  # noqa: E402
+
+
+def build_points(n_points):
+    from examples.invert_point import (localInfo, periods, setting,
+                                       uncers, vels)
+    from pysurfinv_tpu.inversion.point import PointCascadia
+    rng = np.random.default_rng(0)
+    pts, lls = [], []
+    for k in range(n_points):
+        local = dict(localInfo)
+        local["sedthk"] = float(0.02 + 0.9 * rng.random())
+        local["lithoAge"] = float(0.5 + 8.0 * rng.random())
+        pts.append(PointCascadia(setting, local, periods=periods,
+                                 vels=vels, uncers=uncers))
+        lls.append((228.0 + 0.1 * (k % 8), 45.0 + 0.1 * (k // 8)))
+    return pts, lls
+
+
+# label -> (env overrides, n_points, runN, chainL)
+VARIANTS = {
+    # 1,920 lanes, short chains: steady-state per-step A/B of solver knobs
+    "base":     ({}, 64, 6000, 200),
+    "nnewton2": ({"PYSURFINV_MCMC_NNEWTON": "2"}, 64, 6000, 200),
+    "nbisect9": ({"PYSURFINV_MCMC_NBISECT": "9"}, 64, 6000, 200),
+    "nscan24":  ({"PYSURFINV_MCMC_NSCAN": "24",
+                  "PYSURFINV_MCMC_BACKOFF": "8"}, 64, 6000, 200),
+    # full README row shapes (24,000 samples)
+    "full64":   ({}, 64, 24000, 800),
+    "full256":  ({}, 256, 24000, 800),
+}
+
+MCMC_KEYS = [k for k in ("PYSURFINV_MCMC_NSCAN", "PYSURFINV_MCMC_BACKOFF",
+                         "PYSURFINV_MCMC_NBISECT", "PYSURFINV_MCMC_COARSE",
+                         "PYSURFINV_MCMC_NNEWTON")]
+
+
+def run_variant(label, env, n_points, runN, chainL, repeats=2):
+    from pysurfinv_tpu.parallel.grid import invert_grid
+    for k in MCMC_KEYS:
+        os.environ.pop(k, None)
+    os.environ.update(env)
+    pts, lls = build_points(n_points)
+    times = []
+    for rep in range(repeats):
+        out = f"/tmp/ab_grid/{label}_{rep}"
+        t0 = time.time()
+        invert_grid(pts, lls, outdir=out, runN=runN, chainL=chainL,
+                    seed=1, segment=100)
+        times.append(time.time() - t0)
+    total = n_points * runN
+    return times, total
+
+
+def main():
+    sel = os.environ.get("VARIANTS")
+    labels = sel.split(",") if sel else list(VARIANTS)
+    results = []
+    for label in labels:
+        env, n_points, runN, chainL = VARIANTS[label]
+        print(f"=== {label}: {n_points} pts x {runN} "
+              f"(chainL={chainL}, lanes={n_points * runN // chainL}, "
+              f"env={env}) ===", flush=True)
+        times, total = run_variant(label, env, n_points, runN, chainL)
+        results.append((label, times, total))
+        for rep, dt in enumerate(times):
+            print(f"  run{rep}: {dt:.1f}s = {total / dt:,.0f} solves/s",
+                  flush=True)
+    print("\n=== summary (steady state = last run) ===")
+    for label, times, total in results:
+        print(f"{label:10s} {times[-1]:7.1f}s  "
+              f"{total / times[-1]:>10,.0f} solves/s")
+
+
+if __name__ == "__main__":
+    main()
