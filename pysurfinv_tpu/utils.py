@@ -40,9 +40,20 @@ def configure_jit_cache(path=None):
 
     import jax
 
+    # PYSURFINV_JIT_CACHE=0|off|disable turns the persistent cache OFF
+    # even for entry points that self-configure one (invert_grid,
+    # bench.py).  The test suite sets this: jaxlib 0.9.0's XLA:CPU
+    # executable (de)serialization segfaults under process load (see
+    # tests/conftest.py), and a mid-suite invert_grid call must not
+    # silently re-enable the cache the suite disabled.  Any other
+    # non-empty value is used as the cache base directory.
+    env = os.environ.get("PYSURFINV_JIT_CACHE")
+    if env is not None and env.strip().lower() in ("0", "off", "disable",
+                                                   "none", ""):
+        return None
     if jax.config.jax_compilation_cache_dir:
         return jax.config.jax_compilation_cache_dir
-    base = path or os.path.expanduser("~/.cache/pysurfinv_jit")
+    base = path or env or os.path.expanduser("~/.cache/pysurfinv_jit")
     try:
         with open("/proc/cpuinfo") as fh:
             flags = next((ln for ln in fh if ln.startswith("flags")), "")

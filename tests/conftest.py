@@ -21,19 +21,27 @@ jax = force_cpu(n_devices=8, x64=True)
 
 # The persistent compile cache is DISABLED for the test suite by default.
 # jaxlib 0.9.0's XLA:CPU executable (de)serialization segfaults under
-# process load: two independent full-suite runs crashed at the ~88th test,
-# first inside ``LoadedExecutable.serialize()`` (cache write), then — with
-# writes gated — inside ``backend.deserialize_executable`` (cache read,
-# jax/_src/compilation_cache.py:238) on an entry that reads fine in a
-# fresh process.  There is no config gate for reads, so the only robust
-# fix is to run the suite without a persistent cache.  The product path
-# is unaffected (the crash is XLA:CPU-only; TPU runs keep the default
-# ~/.cache/pysurfinv_jit cache).  For fast single-module dev iteration,
-# opt back in with PYSURFINV_TEST_JIT_CACHE=<dir>.
+# process load: three independent full-suite runs crashed at the ~88th
+# test, first inside ``LoadedExecutable.serialize()`` (cache write), then
+# — with writes gated — inside ``backend.deserialize_executable`` (cache
+# read, jax/_src/compilation_cache.py:238) on an entry that reads fine in
+# a fresh process, then — with the conftest cache config removed — inside
+# ``put_executable_and_time`` again, because ``invert_grid`` self-
+# configures a cache via ``utils.configure_jit_cache``.  There is no
+# config gate for reads, so the only robust fix is to run the whole
+# suite without a persistent cache: PYSURFINV_JIT_CACHE=0 below makes
+# ``configure_jit_cache`` a no-op so mid-suite product calls cannot
+# re-enable it.  The product path is unaffected (the crash is
+# XLA:CPU-only; TPU runs keep the default ~/.cache/pysurfinv_jit cache).
+# For fast single-module dev iteration, opt back in with
+# PYSURFINV_TEST_JIT_CACHE=<dir>.
 _cache_dir = os.environ.get("PYSURFINV_TEST_JIT_CACHE")
 if _cache_dir:
+    os.environ["PYSURFINV_JIT_CACHE"] = _cache_dir
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+else:
+    os.environ["PYSURFINV_JIT_CACHE"] = "0"
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
