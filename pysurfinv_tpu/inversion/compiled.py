@@ -31,6 +31,7 @@ impact negligible):
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -219,8 +220,14 @@ class CompiledModel:
                 info[k] = psi[nc + ix]
         return info
 
-    def build_grids(self, theta, psi=None):
-        """(theta, psi) -> concatenated node grids (z, vs, vp, rho, qs, qp)."""
+    def build_grids(self, theta, psi=None, vs_only=False):
+        """(theta, psi) -> concatenated node grids (z, vs, vp, rho, qs, qp).
+
+        ``vs_only=True`` skips every layer's ``_calOthers`` (vp/rho/qs/qp
+        come back as zeros) — the prior fast path: no ``_calVs`` reads
+        anything but the z/vs context (checked across the layer catalog),
+        so z and vs are bitwise identical to the full build.
+        """
         psi = self.psi0 if psi is None else psi
         parms = self._substitute(theta, psi)
         info = self._info_traced(psi)
@@ -238,7 +245,8 @@ class CompiledModel:
             layersAbove = [jnp.array([z_last])] + \
                 [jnp.array([last[k]]) for k in ("vs", "vp", "rho", "qs", "qp")] \
                 + [None, None]
-            kwargs = dict(layersAbove=layersAbove, modelInfo=info, nFine=nf)
+            kwargs = dict(layersAbove=layersAbove, modelInfo=info, nFine=nf,
+                          vs_only=vs_only)
             if isinstance(lay, OceanMantleHybrid):
                 kwargs["crustH"] = crustH
             z1, vs1, vp1, rho1, qs1, qp1 = lay.seisPropGrids(**kwargs)
@@ -301,7 +309,14 @@ class CompiledModel:
         from pysurfinv_tpu.inversion import priors as P
 
         n = self._n_nodes_main
-        z, vs, *_ = self.build_grids(theta, psi)
+        # vs-only build: the priors below read nothing but (z, vs), and
+        # the proposal retry loop evaluates isgood 2-3x per Metropolis
+        # step — skipping _calOthers (notably the hybrid layer's second
+        # HSCM + Ruan Qs pass) cuts the dominant per-step cost
+        # (docs/PERF_NOTES.md).  PYSURFINV_ISGOOD_FULL=1 restores the
+        # full build for same-process A/B timing.
+        vs_only = os.environ.get("PYSURFINV_ISGOOD_FULL") != "1"
+        z, vs, *_ = self.build_grids(theta, psi, vs_only=vs_only)
         z, vs = z[:n], vs[:n]
         grp = jnp.asarray(self._grp_ids_main)
         sed = jnp.asarray(self.grp_nodes[:n] == "sediment")

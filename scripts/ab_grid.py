@@ -47,6 +47,8 @@ VARIANTS = {
     "nbisect9": ({"PYSURFINV_MCMC_NBISECT": "9"}, 64, 6000, 200),
     "nscan24":  ({"PYSURFINV_MCMC_NSCAN": "24",
                   "PYSURFINV_MCMC_BACKOFF": "8"}, 64, 6000, 200),
+    # the pre-round-2 full isgood build (vs-only fast path disabled)
+    "isgoodfull": ({"PYSURFINV_ISGOOD_FULL": "1"}, 64, 6000, 200),
     # full README row shapes (24,000 samples)
     "full64":   ({}, 64, 24000, 800),
     "full256":  ({}, 256, 24000, 800),
@@ -54,14 +56,20 @@ VARIANTS = {
 
 MCMC_KEYS = [k for k in ("PYSURFINV_MCMC_NSCAN", "PYSURFINV_MCMC_BACKOFF",
                          "PYSURFINV_MCMC_NBISECT", "PYSURFINV_MCMC_COARSE",
-                         "PYSURFINV_MCMC_NNEWTON")]
+                         "PYSURFINV_MCMC_NNEWTON", "PYSURFINV_ISGOOD_FULL")]
 
 
 def run_variant(label, env, n_points, runN, chainL, repeats=2):
+    from pysurfinv_tpu.parallel import grid
     from pysurfinv_tpu.parallel.grid import invert_grid
     for k in MCMC_KEYS:
         os.environ.pop(k, None)
     os.environ.update(env)
+    # knobs like PYSURFINV_ISGOOD_FULL are read at TRACE time and are
+    # not part of the traced-program cache key (they are not meant to
+    # vary within a process); drop cached programs so each variant
+    # traces under its own env
+    grid._PROGRAM_CACHE.clear()
     pts, lls = build_points(n_points)
     times = []
     for rep in range(repeats):

@@ -87,6 +87,30 @@ def test_isgood_compiled_vs_host(point, cm):
     assert agree >= n - 1  # boundary cases may differ by float details
 
 
+def test_vs_only_build_bitwise(cm):
+    """The prior fast path (vs_only build) is bitwise exact on (z, vs).
+
+    ``CompiledModel.isgood`` skips every layer's ``_calOthers`` (the
+    hybrid mantle's second HSCM + Ruan anelasticity pass dominates a
+    full build); the priors read only (z, vs), which the fast path
+    computes with exactly the same code.  Guard that contract here so
+    a future layer whose ``_calVs`` starts reading the others-context
+    cannot silently change prior decisions.
+    """
+    import jax
+    rng = np.random.default_rng(7)
+    spec = cm.spec
+    vmin, vmax = np.asarray(spec.vmin), np.asarray(spec.vmax)
+    full = jax.jit(lambda t: cm.build_grids(t)[:2])
+    fast = jax.jit(lambda t: cm.build_grids(t, vs_only=True)[:2])
+    for _ in range(6):
+        theta = vmin + rng.random(len(vmin)) * (vmax - vmin)
+        zf, vf = [np.asarray(x) for x in full(theta)]
+        zq, vq = [np.asarray(x) for x in fast(theta)]
+        np.testing.assert_array_equal(zf, zq)
+        np.testing.assert_array_equal(vf, vq)
+
+
 def test_mcinv_mp_end_to_end(point, tmp_path):
     """Tiny vmapped inversion -> reference npz format -> PostPoint."""
     from pysurfinv_tpu.inversion.point import PostPoint
