@@ -309,12 +309,15 @@ class CompiledModel:
         from pysurfinv_tpu.inversion import priors as P
 
         n = self._n_nodes_main
-        # vs-only build: the priors below read nothing but (z, vs), and
-        # the proposal retry loop evaluates isgood 2-3x per Metropolis
-        # step — skipping _calOthers (notably the hybrid layer's second
-        # HSCM + Ruan Qs pass) cuts the dominant per-step cost
-        # (docs/PERF_NOTES.md).  PYSURFINV_ISGOOD_FULL=1 restores the
-        # full build for same-process A/B timing.
+        # vs-only build: the priors below read nothing but (z, vs), so
+        # _calOthers (notably the hybrid layer's second HSCM + Ruan Qs
+        # pass) is skipped.  Measured runtime-NEUTRAL on chip (A/B
+        # base vs PYSURFINV_ISGOOD_FULL=1: 44.4-45.6k solves/s both
+        # ways — XLA already dead-code-eliminates the unused outputs
+        # inside the jitted retry loop); the value is a smaller traced
+        # graph and compiled program for the sampler (the remote
+        # compile service rejects very large programs, and isgood is
+        # traced inside every proposal retry round).
         vs_only = os.environ.get("PYSURFINV_ISGOOD_FULL") != "1"
         z, vs, *_ = self.build_grids(theta, psi, vs_only=vs_only)
         z, vs = z[:n], vs[:n]

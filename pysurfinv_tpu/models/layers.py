@@ -107,12 +107,14 @@ class SeisLayerVs(SeisLayer):
         z = _linspace01(N + 1) * H
         vs = self._calVs(z, **kwargs)
         if kwargs.get("vs_only"):
-            # prior-evaluation fast path (CompiledModel.isgood): the
-            # priors read only (z, vs), and _calOthers can be the most
-            # expensive part of a build (OceanMantleHybrid runs a
-            # second full HSCM + Ruan anelasticity pass for Qs).  z and
-            # vs are computed by exactly the same code as the full
-            # build, so prior decisions are bitwise identical.
+            # prior-evaluation path (CompiledModel.isgood): the priors
+            # read only (z, vs), so _calOthers is skipped.  This trims
+            # the traced graph (OceanMantleHybrid's Qs pass is a second
+            # full HSCM + Ruan anelasticity build) — on-chip runtime is
+            # unchanged (XLA DCE already prunes the unused outputs; see
+            # CompiledModel.isgood).  z and vs are computed by exactly
+            # the same code as the full build, so prior decisions are
+            # bitwise identical.
             zero = jnp.zeros_like(vs)
             return z, vs, zero, zero, zero, zero
         vp, rho, qs, qp = self._calOthers(z, vs, **kwargs)
