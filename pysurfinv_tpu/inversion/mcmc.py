@@ -59,6 +59,17 @@ class ChainConfig(NamedTuple):
     #   step, and at W = 64 that costs ~10 rounds instead of 600
     #   sequential prior-graph executions.  Results are bit-identical
     #   for any width (see _propose_batched).
+    propose_ratio: int = int(os.environ.get("PYSURFINV_PROPOSE_RATIO", 2))
+    #   ^ compaction-pyramid shrink factor: stage sizes N/r, N/r^2, ...
+    #   Results are bit-identical for any ratio (compaction only moves
+    #   lanes between buffer rows); r trades wasted evals on finished
+    #   lanes (smaller r compacts sooner) against argsort/gather
+    #   overhead per stage.  r=2 measured +11.5% end-to-end over the
+    #   round-1 r=4 (49.6k vs 44.3-44.7k solves/s, 64 pts x 6,000,
+    #   same-process bracketed A/B): at ~55% prior pass rate the
+    #   unfound tail halves every round, so halving stages track it
+    #   while quartering stages leave finished lanes burning isgood
+    #   evaluations for a full extra round.
 
 
 def truncated_step(key, theta, step, vmin, vmax):
@@ -150,6 +161,16 @@ def _propose_batched(keys, thetas, spec_b, ctx_b, isgood, cfg: ChainConfig,
     max_rounds = cfg.n_perturb_rounds + cfg.n_reset_rounds
     visgood = jax.vmap(isgood)
 
+    # A/B knobs re-read at TRACE time (ChainConfig defaults freeze the
+    # env at import): a live env override wins over the config so the
+    # same-process harness (scripts/ab_grid.py, which clears the traced-
+    # program cache between variants) can vary them.
+    def _env_int(name, default):
+        v = os.environ.get(name)
+        return int(v) if v is not None else int(default)
+
+    propose_flat = _env_int("PYSURFINV_PROPOSE_FLAT", cfg.propose_flat)
+
     def vdraw(r, k1, th, sp):
         def one(k, t, vmin, vmax, step):
             return jnp.where(r < cfg.n_perturb_rounds,
@@ -169,7 +190,7 @@ def _propose_batched(keys, thetas, spec_b, ctx_b, isgood, cfg: ChainConfig,
         runs wide so its retry budget drains in few rounds.
         """
         M = th.shape[0]
-        W = max(min(int(cfg.propose_flat) // M, 64), 1)
+        W = max(min(propose_flat // M, 64), 1)
         cxw = jax.tree.map(
             lambda x: jnp.tile(x, (W,) + (1,) * (x.ndim - 1)), cx)
 
@@ -197,12 +218,13 @@ def _propose_batched(keys, thetas, spec_b, ctx_b, isgood, cfg: ChainConfig,
 
         return lax.while_loop(cond, body, state)
 
-    # stage pyramid: N -> N/4 -> N/16 -> ... (>= min_stage)
+    # stage pyramid: N -> N/r -> N/r^2 -> ... (>= min_stage)
+    ratio = max(_env_int("PYSURFINV_PROPOSE_RATIO", cfg.propose_ratio), 2)
     sizes = []
-    m = N // 4
+    m = N // ratio
     while m >= min_stage:
         sizes.append(m)
-        m //= 4
+        m //= ratio
 
     found = jnp.zeros((N,), bool)
     if skip is not None:

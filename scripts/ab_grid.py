@@ -49,6 +49,9 @@ VARIANTS = {
                   "PYSURFINV_MCMC_BACKOFF": "8"}, 64, 6000, 200),
     # the pre-round-2 full isgood build (vs-only fast path disabled)
     "isgoodfull": ({"PYSURFINV_ISGOOD_FULL": "1"}, 64, 6000, 200),
+    # proposal-compaction pyramid density (shipped default r=2; r=4 is
+    # the round-1 schedule: measured 44.3-44.7k vs r=2's 49.6k)
+    "ratio4":   ({"PYSURFINV_PROPOSE_RATIO": "4"}, 64, 6000, 200),
     # full README row shapes (24,000 samples)
     "full64":   ({}, 64, 24000, 800),
     "full256":  ({}, 256, 24000, 800),
@@ -56,7 +59,9 @@ VARIANTS = {
 
 MCMC_KEYS = [k for k in ("PYSURFINV_MCMC_NSCAN", "PYSURFINV_MCMC_BACKOFF",
                          "PYSURFINV_MCMC_NBISECT", "PYSURFINV_MCMC_COARSE",
-                         "PYSURFINV_MCMC_NNEWTON", "PYSURFINV_ISGOOD_FULL")]
+                         "PYSURFINV_MCMC_NNEWTON", "PYSURFINV_ISGOOD_FULL",
+                         "PYSURFINV_PROPOSE_RATIO",
+                         "PYSURFINV_PROPOSE_FLAT")]
 
 
 def run_variant(label, env, n_points, runN, chainL, repeats=2):

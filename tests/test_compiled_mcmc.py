@@ -175,6 +175,21 @@ def test_propose_batched_equals_vmapped(point, cm):
     np.testing.assert_array_equal(np.asarray(ref_f), np.asarray(fast_f))
     np.testing.assert_array_equal(np.asarray(ref_c), np.asarray(fast_c))
 
+    # the pyramid ratio only reshapes the compaction schedule — any
+    # value must reproduce the same lanes bit for bit (the env knob is
+    # read at trace time, so set it before tracing)
+    import os
+    os.environ["PYSURFINV_PROPOSE_RATIO"] = "2"
+    try:
+        r2_c, r2_f = jax.jit(
+            lambda k, t, s, c: _propose_batched(k, t, s, c, isgood, cfg,
+                                                min_stage=6))(
+            keys, th, spec_b, psi_b)
+    finally:
+        del os.environ["PYSURFINV_PROPOSE_RATIO"]
+    np.testing.assert_array_equal(np.asarray(ref_f), np.asarray(r2_f))
+    np.testing.assert_array_equal(np.asarray(ref_c), np.asarray(r2_c))
+
 
 def test_host_mcinv_oracle(point, tmp_path):
     """The host-sequential Metropolis oracle writes a valid chain npz
