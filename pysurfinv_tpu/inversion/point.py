@@ -116,9 +116,16 @@ class Point:
 
         ``sampler``: "batched" (default) inverts the loop order so every
         Metropolis step solves all chains' forwards in one
-        ``surf_forward_batch`` call (fused Pallas path on TPU);
+        ``surf_forward_batch`` call (fused Pallas path on TPU) —
+        implemented by delegating to ``parallel.grid.invert_grid`` with
+        this single point, so MCinvMP shares the sharded grid driver's
+        traced-program cache (repeated calls skip ~20-30 s of host
+        retracing per call), pipelined segment fetches, fault retry and
+        warm-started roots — one code path, one set of semantics.
         "legacy" keeps the per-chain vmapped kernel.  Both target the
-        same stationary distribution; RNG streams differ.
+        same stationary distribution; RNG streams differ between the
+        two samplers (the batched lane keys are identical to
+        ``invert_grid`` with the same seed, by construction).
 
         ``segment``: run the batched sampler in jitted segments of this
         many steps (bitwise identical to the monolithic scan — see
@@ -127,12 +134,6 @@ class Point:
         single executions.  None = monolithic.
         """
         import jax
-        import jax.numpy as jnp
-        from pysurfinv_tpu.inversion.compiled import CompiledModel
-        from pysurfinv_tpu.inversion.mcmc import (ChainConfig,
-                                                  make_chain_kernel,
-                                                  make_segmented_sampler,
-                                                  run_chains)
 
         if priori and outdir.split("_")[-1] != "priori":
             outdir = "_".join((outdir, "priori"))
@@ -141,53 +142,29 @@ class Point:
             print(f"Running MC inversion: {pid}")
         timeStamp = time.time()
 
-        cm = CompiledModel(self.initMod)
-        periods = jnp.asarray(np.asarray(self.obs["T"], dtype=float))
-        cfg = ChainConfig(chain_len=chainL, priori=priori)
-        n_chains = runN // chainL
-        key = jax.random.PRNGKey(seed)
-
         if sampler == "batched":
-            chi_b = self._compiled_chi_sqr_batch(cm, periods, wave)
-            P = len(np.asarray(self.obs["T"]))
-            init_fn, seg_fn = make_segmented_sampler(
-                lambda th, psi: cm.isgood(th, psi), chi_b, cfg,
-                aux_init=lambda spec_b, ctx_b: jnp.zeros(
-                    (spec_b.theta0.shape[0], P), spec_b.theta0.dtype))
-            N = n_chains
-            bcast = lambda x: jnp.broadcast_to(  # noqa: E731
-                x, (N,) + x.shape)
-            spec_b = jax.tree.map(bcast, cm.spec)
-            psi_b = bcast(cm.psi0)
-            theta0_b = bcast(cm.spec.theta0)
-            use_init = jnp.arange(N) == 0
-            lane_keys = jax.vmap(
-                lambda i: jax.random.fold_in(key, i))(jnp.arange(N))
-            carry = jax.jit(init_fn)(lane_keys, spec_b, psi_b,
-                                     theta0_b, use_init)
-            seg = (chainL if segment is None
-                   else min(max(int(segment), 1), chainL))
-            seg_jit = jax.jit(lambda c, lk, sp, cx, s0: seg_fn(
-                c, lk, sp, cx, s0, seg))
-            s = 0
-            row_segs = []
-            while s < chainL:
-                # fixed seg-step executions; a short tail's surplus
-                # rows are discarded (see parallel/grid.py for why)
-                n = min(seg, chainL - s)
-                carry, rows = seg_jit(carry, lane_keys, spec_b, psi_b,
-                                      jnp.asarray(s, jnp.int32))
-                row_segs.append(np.asarray(rows)[:n])
-                s += n
-            # row 0 of the first segment is the init-evaluation row
-            tracks = np.moveaxis(np.concatenate(row_segs, axis=0), 0, 1)
+            from pysurfinv_tpu.parallel.grid import invert_grid
+            invert_grid([self], [(0.0, 0.0)], outdir=outdir, runN=runN,
+                        chainL=chainL, seed=seed, priori=priori,
+                        wave=wave, segment=segment, verbose=False,
+                        pids=[pid])
         else:
+            import jax.numpy as jnp
+            from pysurfinv_tpu.inversion.compiled import CompiledModel
+            from pysurfinv_tpu.inversion.mcmc import (ChainConfig,
+                                                      make_chain_kernel,
+                                                      run_chains)
+            cm = CompiledModel(self.initMod)
+            periods = jnp.asarray(np.asarray(self.obs["T"], dtype=float))
+            cfg = ChainConfig(chain_len=chainL, priori=priori)
+            n_chains = runN // chainL
+            key = jax.random.PRNGKey(seed)
             chi_sqr = self._compiled_chi_sqr(cm, periods, wave)
             kernel = make_chain_kernel(lambda th, psi: cm.isgood(th, psi),
                                        chi_sqr, cfg)
             tracks = run_chains(kernel, key, cm.spec, cm.psi0, n_chains)
-        mcTrack = np.asarray(tracks).reshape(runN, -1)
-        self._save_npz(outdir, pid, mcTrack, chainL)
+            mcTrack = np.asarray(tracks).reshape(runN, -1)
+            self._save_npz(outdir, pid, mcTrack, chainL)
         if verbose:
             print(f"Time cost:{time.time() - timeStamp:.2f} ")
 
@@ -251,37 +228,6 @@ class Point:
             return mk(cm.forward(theta, periods, psi=psi, wave=wave))
 
         return chi_sqr
-
-    def _compiled_chi_sqr_batch(self, cm, periods, wave, solver_cfg=None):
-        """(thetas (N, k), psis (N, npsi)) -> per-lane (misfit, chi, L).
-
-        One batched profile build + ONE ``surf_forward_batch`` call —
-        the fused Pallas path on TPU — instead of N vmapped scans.
-        """
-        import jax
-        import jax.numpy as jnp
-        from pysurfinv_tpu.ops.dispersion import surf_forward_batch
-
-        mk = jax.vmap(self._misfit_kernel())
-        # one shared MCMC solver config (warm-root window sizing and
-        # rationale: parallel/grid.py mcmc_solver_cfg docstring)
-        from pysurfinv_tpu.parallel.grid import mcmc_solver_cfg
-        scfg = ((solver_cfg or mcmc_solver_cfg())
-                ._replace(nmodes=1, compute_group=False))
-
-        def chi_sqr_batch(thetas, psis, c_warm=None):
-            h, vp, vs, rho, qsi, nlay = cm.build_profile_batch(thetas, psis)
-            c, _, okk = surf_forward_batch(h, vp, vs, rho, qsi, periods,
-                                           nlay, wave=wave, cfg=scfg,
-                                           c_warm=c_warm)
-            cP = jnp.where(okk[:, :, 0], c[:, :, 0], 0.0)
-            if c_warm is None:
-                return mk(cP)
-            # warm-root contract (make_segmented_sampler aux_init): the
-            # evaluation's own roots seed the next step's brackets
-            return (*mk(cP), cP)
-
-        return chi_sqr_batch
 
     def _save_npz(self, outdir, pid, mcTrack, chainL):
         from pysurfinv_tpu.utils import savez_fast

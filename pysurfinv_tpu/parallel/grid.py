@@ -180,7 +180,7 @@ def invert_grid(points, lonlats, outdir="mcdata", runN=24000, chainL=800,
                 seed=42, priori=False, wave="rayleigh", mesh=None,
                 verbose=True, point_cls=None, sampler="batched",
                 segment=100, retries=2, checkpoint=None, resume=False,
-                max_lanes="auto", _abort_after_segments=None,
+                max_lanes="auto", pids=None, _abort_after_segments=None,
                 _lane_offset=0, _no_fallback=False):
     """Run MCMC for many grid points as one sharded computation.
 
@@ -224,6 +224,10 @@ def invert_grid(points, lonlats, outdir="mcdata", runN=24000, chainL=800,
       resume:  True resumes from ``checkpoint`` if it exists —
                mid-chain checkpoint/resume the reference lacks
                (its npz is results-level only, point.py:80-85).
+      pids:    optional list of output file basenames (without ``.npz``)
+               overriding the default ``lon_lat`` naming —
+               ``Point.MCinvMP`` routes its single point through here
+               with its own pid.
       max_lanes: batched sampler only.  "auto" (default) runs the whole
                grid as ONE program up to 8192 (point, chain) lanes —
                lanes are the chip's parallelism, so tiling for no
@@ -279,6 +283,7 @@ def invert_grid(points, lonlats, outdir="mcdata", runN=24000, chainL=800,
                 point_cls=point_cls, sampler=sampler, segment=segment,
                 retries=retries, checkpoint=ck, resume=resume,
                 max_lanes=None,
+                pids=pids[i:i + per] if pids else None,
                 _abort_after_segments=_abort_after_segments,
                 _lane_offset=_lane_offset + i * nch,
                 _no_fallback=True)
@@ -600,7 +605,7 @@ def invert_grid(points, lonlats, outdir="mcdata", runN=24000, chainL=800,
 
     def _write(k_lonlat):
         k, (lon, lat) = k_lonlat
-        pid = f"{lon:g}_{lat:g}"
+        pid = pids[k] if pids else f"{lon:g}_{lat:g}"
         savez_fast(
             f"{outdir}/{pid}.npz", mcTrack=tracks[k].reshape(runN, -1),
             setting=dict(points[k].initMod.toYML()), obs=points[k].obs,
