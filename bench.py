@@ -114,6 +114,7 @@ def main():
         nscan=int(os.environ.get("BENCH_NSCAN", 12)),
         nbisect=int(os.environ.get("BENCH_NBISECT", 9)),
         nnewton=int(os.environ.get("BENCH_NNEWTON", 0)),
+        newton_sep=int(os.environ.get("BENCH_NEWTON_SEP", 0)),
         warm_backoff=int(os.environ.get("BENCH_BACKOFF", 4)),
         coarse_first=int(os.environ.get("BENCH_COARSE_FIRST", 16)),
         backend=os.environ.get("BENCH_BACKEND", "auto"),

@@ -105,6 +105,27 @@ class SurfConfig(NamedTuple):
     #                           the XLA scan elsewhere; only the batched
     #                           entry point dispatches (single-model
     #                           surf_forward is always XLA).
+    newton_sep: int = 0       # >0 replaces the refinement on the Pallas
+    #                           batched path with this many SEPARATED
+    #                           safeguarded-Newton iterations: each
+    #                           iteration is ONE gradient-kernel launch
+    #                           (F, F_c, F_T at ~2.2x a plain row) whose
+    #                           Newton step is clamped to the live
+    #                           bracket (midpoint fallback), with the
+    #                           bracket side updated from sign(F) like
+    #                           Illinois.  Quadratic convergence from
+    #                           the dc/2dc bracket reaches the f32 noise
+    #                           floor in 3 iterations where Illinois
+    #                           needs ~9-11 plain launches — and the
+    #                           last iteration's tangents yield the
+    #                           group velocity for free, so the whole
+    #                           refine+group phase is n_newt grad
+    #                           launches.  Unlike `nnewton` (the FUSED
+    #                           refine kernel, which overflows VMEM and
+    #                           spills on v5e), each launch here is the
+    #                           already-VMEM-safe secular_lanes_grad.
+    #                           nbisect is ignored when set.  The XLA
+    #                           path ignores it (it is the oracle path).
 
 
 def _secular_fn(wave: str):
@@ -842,7 +863,53 @@ def _surf_forward_batch_fast(h, vp, vs, rho, qsinv, periods, nlay,
                         jnp.asarray(cfg.coarse * dc, dtype), w_l)
     hi_l = jnp.broadcast_to(lo_l + w_l, lo_l.shape)
 
-    if cfg.nnewton >= 1:
+    if cfg.newton_sep >= 1:
+        # separated safeguarded Newton: one cheap frozen launch probes
+        # sign(F(lo)); then newton_sep gradient launches iterate from
+        # the bracket midpoint — Newton step clamped by the live
+        # bracket with midpoint fallback (guaranteed progress), except
+        # the LAST step, which is a CLIPPED Newton polish (the same
+        # convention as the Illinois path's free polish; a midpoint
+        # bounce there would throw a converged lane back to the middle
+        # of whatever bracket remains).
+        from pysurfinv_tpu.ops.pallas_secular import (
+            secular_lanes_frozen, secular_lanes_grad)
+
+        def Fg(cc):
+            return secular_lanes_grad(
+                cc, t_l, mm_l, *model_T, nlay, wave=wave,
+                t_base=cfg.t_base, atten=cfg.atten, interpret=interpret)
+
+        s_lo = _sign(secular_lanes_frozen(
+            lo_l, t_l, mm_l, *model_T, nlay, wave=wave,
+            t_base=cfg.t_base, atten=cfg.atten, interpret=interpret))
+        cur_lo, cur_hi = lo_l, hi_l
+        x = 0.5 * (lo_l + hi_l)
+        for j in range(cfg.newton_sep):
+            f_j, fc_j, _ = Fg(x)
+            same_lo = _sign(f_j) == s_lo
+            cur_lo = jnp.where(same_lo, x, cur_lo)
+            cur_hi = jnp.where(same_lo, cur_hi, x)
+            fc_safe = jnp.where(jnp.abs(fc_j) > 0, fc_j, 1.0)
+            xn = x - f_j / fc_safe
+            if j == cfg.newton_sep - 1:
+                x = jnp.clip(xn, cur_lo, cur_hi)
+            else:
+                bad = ~((xn > cur_lo) & (xn < cur_hi))
+                x = jnp.where(bad, 0.5 * (cur_lo + cur_hi), xn)
+        root_l = x
+        if cfg.compute_group:
+            # group velocity from tangents AT the refined root (the
+            # Illinois path's convention — u away from the root is
+            # amplified by the tangent-ratio sensitivity), plus the
+            # free clipped Newton polish from the same launch
+            f_g, fc_g, ft_g = Fg(root_l)
+            fc_safe = jnp.where(jnp.abs(fc_g) > 0, fc_g, 1.0)
+            u_l = root_l / (1.0 - (t_l / root_l) * ft_g / fc_safe)
+            root_l = jnp.clip(root_l - f_g / fc_safe, cur_lo, cur_hi)
+        else:
+            u_l = jnp.zeros_like(root_l)
+    elif cfg.nnewton >= 1:
         # fused refine: all Illinois iterations + Newton tail + group
         # tangents in ONE kernel launch (the model strip loads into
         # VMEM once for the whole refinement)

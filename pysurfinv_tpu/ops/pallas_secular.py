@@ -545,6 +545,33 @@ def _make_layer_model(vp_ref, vs_ref, rho_ref, qsi_ref, hf_ref, vf_ref,
     return layer_model
 
 
+def _block_fori(n, body, carry, unroll):
+    """``fori_loop(0, n, body, carry)`` with manual partial unrolling.
+
+    Mosaic's fori_loop lowering supports only ``unroll=1`` or full
+    unroll; intermediate factors (the VMEM sweet spot for the gradient
+    tiles, whose full unroll wants ~37 MB of scoped stack) are done by
+    hand here: an outer unroll=1 loop over blocks of ``unroll`` inlined
+    ``body`` steps, plus a static Python remainder.  ``n`` is static.
+    """
+    if unroll == 1 or unroll >= n:
+        return jax.lax.fori_loop(0, n, body, carry,
+                                 unroll=(n if unroll >= n else 1))
+    k = unroll
+    nb = n // k
+
+    def blk(b, c):
+        i0 = b * k
+        for j in range(k):
+            c = body(i0 + j, c)
+        return c
+
+    carry = jax.lax.fori_loop(0, nb, blk, carry, unroll=1)
+    for i in range(nb * k, n):
+        carry = body(i, carry)
+    return carry
+
+
 def _capture_halfspace(layer_model, mmf, shape, L, unroll):
     """(a, b, rho) of each lane's frozen closure layer ``mmf - 1``."""
     a_last, b_last, rho_last, _ = layer_model(L - 1)
@@ -558,9 +585,8 @@ def _capture_halfspace(layer_model, mmf, shape, L, unroll):
                 jnp.where(capture, rho_l, rho_h))
 
     bc = lambda x: jnp.broadcast_to(x, shape)  # noqa: E731
-    return jax.lax.fori_loop(
-        0, L - 1, cap_body, (bc(a_last), bc(b_last), bc(rho_last)),
-        unroll=unroll)
+    return _block_fori(L - 1, cap_body,
+                       (bc(a_last), bc(b_last), bc(rho_last)), unroll)
 
 
 def _ray_secular_tile(cv, t, mmf, layer_model, a_h, b_h, rho_h, L, unroll):
@@ -579,8 +605,7 @@ def _ray_secular_tile(cv, t, mmf, layer_model, a_h, b_h, rho_h, L, unroll):
         inv = 1.0 / jnp.where(jnp.abs(scale) > 0.0, jnp.abs(scale), 1.0)
         return tuple(x * inv for x in nb)
 
-    b = jax.lax.fori_loop(0, L - 1, body, (one, zero, zero, zero, zero),
-                          unroll=unroll)
+    b = _block_fori(L - 1, body, (one, zero, zero, zero, zero), unroll)
     return _ray_closure(cv, *b, a_h, b_h, rho_h)
 
 
@@ -616,7 +641,7 @@ def _ray_secular_grad_tile(cv, t, mmf, layer_model, a_h, b_h, rho_h, L,
         return tuple(x * inv for x in nb + ndc + ndt)
 
     carry = (one, zero, zero, zero, zero) + (zero,) * 10
-    carry = jax.lax.fori_loop(0, L - 1, body, carry, unroll=unroll)
+    carry = _block_fori(L - 1, body, carry, unroll)
 
     def clos(x, *bv):
         return _ray_closure(x, *bv, a_h, b_h, rho_h)
@@ -645,7 +670,7 @@ def _love_secular_tile(cv, t, mmf, layer_model, b_h, rho_h, L, unroll):
         inv = 1.0 / jnp.where(scale > 0, scale, 1.0)
         return nut * inv, ntt * inv
 
-    ut, tt = jax.lax.fori_loop(0, L - 1, body, (ut, tt), unroll=unroll)
+    ut, tt = _block_fori(L - 1, body, (ut, tt), unroll)
     return -tt
 
 
@@ -686,8 +711,8 @@ def _love_secular_grad_tile(cv, t, mmf, layer_model, b_h, rho_h, L,
         return (nut * inv, ntt * inv, nutc * inv, nttc * inv,
                 nutt * inv, nttt * inv)
 
-    ut, tt, utc, ttc, utt, ttt = jax.lax.fori_loop(
-        0, L - 1, body, (ut, tt, utc, ttc, utt, ttt), unroll=unroll)
+    ut, tt, utc, ttc, utt, ttt = _block_fori(
+        L - 1, body, (ut, tt, utc, ttc, utt, ttt), unroll)
     return -tt, -ttc, -ttt
 
 

@@ -92,6 +92,7 @@ def mcmc_solver_cfg():
                       nbisect=int(e("PYSURFINV_MCMC_NBISECT", 11)),
                       coarse=int(e("PYSURFINV_MCMC_COARSE", 2)),
                       nnewton=int(e("PYSURFINV_MCMC_NNEWTON", 0)),
+                      newton_sep=int(e("PYSURFINV_MCMC_NEWTON_SEP", 0)),
                       coarse_first=8)
 
 
