@@ -45,6 +45,10 @@ VARIANTS = {
     "base":     ({}, 64, 6000, 200),
     "nnewton2": ({"PYSURFINV_MCMC_NNEWTON": "2"}, 64, 6000, 200),
     "nbisect9": ({"PYSURFINV_MCMC_NBISECT": "9"}, 64, 6000, 200),
+    # separated safeguarded-Newton refinement (gradient-kernel launches;
+    # pair with PYSURFINV_PALLAS_GRAD_UNROLL=8, read at import time)
+    "newtonsep2": ({"PYSURFINV_MCMC_NEWTON_SEP": "2"}, 64, 6000, 200),
+    "newtonsep3": ({"PYSURFINV_MCMC_NEWTON_SEP": "3"}, 64, 6000, 200),
     "nscan24":  ({"PYSURFINV_MCMC_NSCAN": "24",
                   "PYSURFINV_MCMC_BACKOFF": "8"}, 64, 6000, 200),
     # the pre-round-2 full isgood build (vs-only fast path disabled)
@@ -59,7 +63,9 @@ VARIANTS = {
 
 MCMC_KEYS = [k for k in ("PYSURFINV_MCMC_NSCAN", "PYSURFINV_MCMC_BACKOFF",
                          "PYSURFINV_MCMC_NBISECT", "PYSURFINV_MCMC_COARSE",
-                         "PYSURFINV_MCMC_NNEWTON", "PYSURFINV_ISGOOD_FULL",
+                         "PYSURFINV_MCMC_NNEWTON",
+                         "PYSURFINV_MCMC_NEWTON_SEP",
+                         "PYSURFINV_ISGOOD_FULL",
                          "PYSURFINV_PROPOSE_RATIO",
                          "PYSURFINV_PROPOSE_FLAT")]
 
