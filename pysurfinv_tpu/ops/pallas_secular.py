@@ -53,11 +53,15 @@ LANE = 128  # model-axis block width (TPU lane count)
 # iteration's temporaries without cross-iteration reuse, and while the
 # plain body fits, the linearize-based gradient body wants ~37 MB
 # against the 16 MB scoped limit — so gradient kernels run their layer
-# loop at unroll=1 (one extra launch at ~2x/layer cost is still cheap:
-# it happens once per solve).  0 = full; override per measurement.
+# loop in manual BLOCKS of GRAD_UNROLL iterations (a block's
+# temporaries fit VMEM; values are identical — blocking only changes
+# instruction scheduling).  Block-size ladder on chip (anchor-ratio
+# A/B, scripts/ab_grad_unroll.py, drift cancelled): 1 -> x0.927 of the
+# grad-free anchor, 8 -> x0.939, 16 -> x0.939; 8 ships (+1.3% on the
+# full phase+group bench path).  0 = full; override per measurement.
 import os as _os
 UNROLL_LAYERS = int(_os.environ.get("PYSURFINV_PALLAS_UNROLL", "0"))
-GRAD_UNROLL = int(_os.environ.get("PYSURFINV_PALLAS_GRAD_UNROLL", "1"))
+GRAD_UNROLL = int(_os.environ.get("PYSURFINV_PALLAS_GRAD_UNROLL", "8"))
 
 
 def _layer_unroll(L, interpret):
