@@ -105,6 +105,18 @@ class SurfConfig(NamedTuple):
     #                           the XLA scan elsewhere; only the batched
     #                           entry point dispatches (single-model
     #                           surf_forward is always XLA).
+    fuse_illinois: bool = False  # route the nbisect Illinois iterations
+    #                           through ONE refine_lanes launch (plain
+    #                           secular body only, no Newton tail, fully
+    #                           unrolled layer loop — VMEM-safe) instead
+    #                           of nbisect separate frozen launches.
+    #                           Wins where per-launch overhead dominates
+    #                           the refine phase (small lane counts: the
+    #                           MCMC sampler at O(1k) lanes); at bench
+    #                           scale (65k lanes) launches are compute-
+    #                           bound and it is a wash.  Group velocity
+    #                           still comes from the separate tangent
+    #                           launch.  Pallas batched path only.
     newton_sep: int = 0       # >0 replaces the refinement on the Pallas
     #                           batched path with this many SEPARATED
     #                           safeguarded-Newton iterations: each
@@ -921,7 +933,18 @@ def _surf_forward_batch_fast(h, vp, vs, rho, qsinv, periods, nlay,
             n_newton=cfg.nnewton, compute_group=cfg.compute_group,
             interpret=interpret)
     else:
-        root_l = illinois_lanes(t_l, lo_l, hi_l, mm_l, cfg.nbisect)
+        if cfg.fuse_illinois:
+            # all Illinois iterations in ONE plain-body kernel launch
+            # (same algorithm as illinois_lanes; the model strip loads
+            # into VMEM once for the whole refinement)
+            from pysurfinv_tpu.ops.pallas_secular import refine_lanes
+
+            root_l, _ = refine_lanes(
+                lo_l, hi_l, t_l, mm_l, *model_T, nlay, wave=wave,
+                t_base=cfg.t_base, atten=cfg.atten, n_ill=cfg.nbisect,
+                n_newton=0, compute_group=False, interpret=interpret)
+        else:
+            root_l = illinois_lanes(t_l, lo_l, hi_l, mm_l, cfg.nbisect)
         # ---- group velocity, u = c / (1 - (T/c) F_T/F_c) ------------
         # Exact forward-mode tangents *inside* the fused kernel
         # (secular_lanes_grad): one launch for all lanes, primal

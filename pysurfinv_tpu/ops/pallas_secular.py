@@ -986,6 +986,14 @@ def _refine_kernel(wave, t_base, atten, L, unroll, n_ill, n_newton,
     denom = fhi - flo
     denom = jnp.where(jnp.abs(denom) > 0, denom, 1.0)
     x = jnp.clip((lo * fhi - hi * flo) / denom, lo, hi)
+
+    if n_newton == 0:
+        # Illinois-only fuse: no gradient tile is traced at all, so the
+        # whole kernel is the VMEM-safe plain body (callers pass the
+        # full layer unroll in this mode)
+        root_out[:] = x
+        u_out[:] = zero
+        return
     slo = sgn(flo)
 
     # ---- phase B: bracket-clamped Newton with in-kernel tangents -----
@@ -1046,9 +1054,12 @@ def refine_lanes(lo, hi, t, mm_frozen, vp, vs, rho, qsi, h_flat, vel_fac,
              for x in (vp, vs, rho, qsi, h_flat, vel_fac, rho_fac)]
     nlay2 = _pad_to(nlay.astype(jnp.int32)[None, :], Bp, 1, 2)
 
+    # n_newton == 0 traces no gradient tile (Illinois-only), so the
+    # plain body's full layer unroll fits the VMEM stack
+    unroll = (_layer_unroll(L, interpret) if n_newton == 0
+              else _grad_unroll(L, interpret))
     body = partial(_refine_kernel, wave, t_base, atten, L,
-                   _grad_unroll(L, interpret), n_ill, n_newton,
-                   compute_group)
+                   unroll, n_ill, n_newton, compute_group)
 
     grid = (Kp // Kb, Bp // LANE)
     mspec = pl.BlockSpec((L, LANE), lambda i, j: (0, j),

@@ -78,8 +78,16 @@ def mcmc_solver_cfg():
     signed drift within [-6.9, +7.2]*dc — so [-12, +20]*dc misses
     ~never and the all-lanes rescue cond stays cold (at [-6, +18] the
     tail fired it every step, costing warm + cold + rescue).
-    nbisect=11: Illinois from a 2*dc bracket reaches the f32 root
-    noise floor (validated vs 40 iterations, docs/PERF_NOTES.md).
+    coarse=4: the warm sweep probes the window at 4*dc (halving the
+    biggest launch's probe rows) and hands Illinois a 4*dc bracket.
+    Measured +12.6% end-to-end (57.1k vs 50.7k solves/s, 64 pts x
+    6,000, same-process A/B); root accuracy vs a 40-iteration oracle
+    on 1.18M lane-periods: q99 |dc| 3.9e-5 km/s (coarse=2: 1.9e-5),
+    max 7.4e-4 — ~100x inside the 0.1% parity budget, and far below
+    observational sigma (>= 0.01 km/s), so recorded misfits are
+    unaffected at chain precision.  nbisect=11: Illinois from the
+    4*dc bracket still reaches the f32 noise floor; dropping to 9
+    lifts q99 to 1.4e-4 for only +3% — rejected.
 
     The PYSURFINV_MCMC_* env knobs exist for on-chip A/B runs only;
     the committed defaults are the validated configuration.
@@ -90,7 +98,8 @@ def mcmc_solver_cfg():
                       nscan=int(e("PYSURFINV_MCMC_NSCAN", 32)),
                       warm_backoff=int(e("PYSURFINV_MCMC_BACKOFF", 12)),
                       nbisect=int(e("PYSURFINV_MCMC_NBISECT", 11)),
-                      coarse=int(e("PYSURFINV_MCMC_COARSE", 2)),
+                      coarse=int(e("PYSURFINV_MCMC_COARSE", 4)),
+                      fuse_illinois=e("PYSURFINV_MCMC_FUSE_ILL", "0") == "1",
                       nnewton=int(e("PYSURFINV_MCMC_NNEWTON", 0)),
                       newton_sep=int(e("PYSURFINV_MCMC_NEWTON_SEP", 0)),
                       coarse_first=8)

@@ -51,6 +51,13 @@ VARIANTS = {
     "newtonsep3": ({"PYSURFINV_MCMC_NEWTON_SEP": "3"}, 64, 6000, 200),
     "nscan24":  ({"PYSURFINV_MCMC_NSCAN": "24",
                   "PYSURFINV_MCMC_BACKOFF": "8"}, 64, 6000, 200),
+    # halve the warm-sweep probe rows (step 4*dc over the same window);
+    # Illinois then starts from a 4*dc bracket
+    "coarse4":  ({"PYSURFINV_MCMC_COARSE": "4"}, 64, 6000, 200),
+    "coarse4b12": ({"PYSURFINV_MCMC_COARSE": "4",
+                    "PYSURFINV_MCMC_NBISECT": "12"}, 64, 6000, 200),
+    # all Illinois iterations in one plain-body kernel launch
+    "fuse_ill": ({"PYSURFINV_MCMC_FUSE_ILL": "1"}, 64, 6000, 200),
     # the pre-round-2 full isgood build (vs-only fast path disabled)
     "isgoodfull": ({"PYSURFINV_ISGOOD_FULL": "1"}, 64, 6000, 200),
     # proposal-compaction pyramid density (shipped default r=2; r=4 is

@@ -75,3 +75,23 @@ def eus_model(golden):
         "nlay": nlay,
         "periods": golden["periods"].astype(float),
     }
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _clear_jax_caches_between_modules():
+    """Drop live compiled executables at every module boundary.
+
+    jaxlib 0.9.0's XLA:CPU backend segfaults *inside a fresh
+    compilation* (``backend_compile_and_load``) once a single process
+    has accumulated enough live executables — reproduced at the ~86th
+    test of the full suite (test_parallel_grid's shard_map sampler
+    program), while the same test passes alone.  The persistent-cache
+    serialize/deserialize crashes documented above are the same
+    underlying fragility on its other entry points.  Releasing every
+    cached executable between modules keeps the process-wide live-
+    executable count bounded by the heaviest single module.
+    """
+    yield
+    import gc
+    jax.clear_caches()
+    gc.collect()

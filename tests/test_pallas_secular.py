@@ -192,3 +192,24 @@ def test_batch_fast_path_matches_vmap(batch, nnewton):
     np.testing.assert_array_equal(np.asarray(okx), np.asarray(okp))
     assert np.abs(np.asarray(cx) - np.asarray(cp)).max() < 5e-5
     assert np.abs(np.asarray(ux) - np.asarray(up)).max() < 5e-4
+
+
+def test_fused_illinois_matches_separate_launches(batch):
+    """SurfConfig.fuse_illinois routes the nbisect Illinois iterations
+    through ONE plain-body refine_lanes launch; the algorithm is the
+    same as illinois_lanes' separate frozen launches, so roots, group
+    velocities and validity masks must match exactly (the MCMC sampler
+    exposes it via PYSURFINV_MCMC_FUSE_ILL)."""
+    h, vp, vs, rho, qsi, nlay = batch
+    periods = jnp.asarray(np.array([10.0, 20.0, 40.0, 80.0], np.float32))
+    base = dict(nmodes=1, backend="pallas_interpret", coarse=4, nbisect=11)
+    args = tuple(map(jnp.asarray, (h, vp, vs, rho, qsi)))
+    outs = []
+    for fuse in (False, True):
+        cfg = SurfConfig(fuse_illinois=fuse, **base)
+        outs.append(surf_forward_batch(*args, periods, jnp.asarray(nlay),
+                                       wave="rayleigh", cfg=cfg))
+    (c0, u0, ok0), (c1, u1, ok1) = outs
+    np.testing.assert_array_equal(np.asarray(ok0), np.asarray(ok1))
+    np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
+    np.testing.assert_array_equal(np.asarray(u0), np.asarray(u1))
