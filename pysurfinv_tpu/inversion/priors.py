@@ -92,49 +92,40 @@ def jnp_group_jumps_positive(vs, grp_ids, keep=None):
     comparison runs between consecutive *kept* nodes, exactly as on the
     host's compacted grid.
     """
-    import jax
     import jax.numpy as jnp
     if keep is None:
         boundary = grp_ids[1:] != grp_ids[:-1]
         return jnp.all(jnp.where(boundary, vs[1:] >= vs[:-1], True))
-    n = vs.shape[0]
-    idx = jnp.arange(n)
-    arr = jnp.where(keep, idx, n)
-    suf = jnp.flip(jax.lax.cummin(jnp.flip(arr)))  # min kept index >= i
-    nxt = jnp.concatenate([suf[1:], jnp.full((1,), n)])  # strictly after i
-    valid = keep & (nxt < n)
-    j = jnp.clip(nxt, 0, n - 1)
-    boundary = valid & (grp_ids[j] != grp_ids)
-    return jnp.all(jnp.where(boundary, vs[j] >= vs, True))
+    pair = _adjacent_flagged_pairs(keep)     # j = next kept after i
+    boundary = pair & (grp_ids[None, :] != grp_ids[:, None])
+    bad = boundary & (vs[None, :] < vs[:, None])
+    return ~jnp.any(bad)
 
 
-def _prev_flagged(flag, vals):
-    """(prev_idx, prev_val) of the last flagged position STRICTLY
-    before each element, or (-1, 0) when none.
+def _adjacent_flagged_pairs(flag):
+    """(n, n) bool: [i, j] iff i and j are flagged and j is the NEXT
+    flagged position strictly after i.
 
-    Gather-free: a "last set value wins" associative scan — under vmap
-    this is log2(n) rounds of selects, where the previous formulation's
-    ``jnp.maximum.accumulate`` + per-lane dynamic gather dominated the
-    whole prior graph on TPU (measured: the two extrema priors were 58%
-    of ``isgood`` at 61k lanes, and TPU gathers are the reason).
+    O(n^2) masked-matrix formulation (n <= ~100 node grids): with
+    ``c = cumsum(flag)`` (inclusive), j is adjacent-after i exactly when
+    both are flagged and ``c[j] == c[i] + 1``.  Replaces the
+    associative-scan ``_prev_flagged`` (log2(n) select rounds x several
+    tensors) and every dynamic gather: on TPU the whole pair check
+    fuses into ~2 kernels where the scan form serialized ~14 small
+    launches per use site — the proposal-prior graph's measured hot
+    spot (docs/PERF_NOTES.md).
     """
     import jax.numpy as jnp
-    from jax import lax
+    c = jnp.cumsum(flag.astype(jnp.int32))
+    return flag[:, None] & flag[None, :] & (c[None, :] == c[:, None] + 1)
 
-    n = vals.shape[0]
-    idx = jnp.where(flag, jnp.arange(n), -1)
-    v0 = jnp.where(flag, vals, jnp.zeros_like(vals))
 
-    def take_last(a, b):
-        ia, va = a
-        ib, vb = b
-        right = ib >= ia
-        return jnp.where(right, ib, ia), jnp.where(right, vb, va)
-
-    ii, vv = lax.associative_scan(take_last, (idx, v0))
-    prev_idx = jnp.concatenate([jnp.full((1,), -1, ii.dtype), ii[:-1]])
-    prev_val = jnp.concatenate([jnp.zeros((1,), vv.dtype), vv[:-1]])
-    return prev_idx, prev_val
+def _adjacent_flagged_gap_ok(vals, flag, limit):
+    """No adjacent flagged pair differs by more than ``limit``."""
+    import jax.numpy as jnp
+    pair = _adjacent_flagged_pairs(flag)
+    bad = pair & (jnp.abs(vals[None, :] - vals[:, None]) > limit)
+    return ~jnp.any(bad)
 
 
 def jnp_local_extrema_oscillation(v, mask, limit):
@@ -153,12 +144,8 @@ def jnp_local_extrema_oscillation(v, mask, limit):
     is_max = (v[1:-1] > v[:-2]) & (v[1:-1] > v[2:]) & inner
     is_min = (v[1:-1] < v[:-2]) & (v[1:-1] < v[2:]) & inner
     is_ext = is_max | is_min
-    vals = v[1:-1]
-    n_ext = jnp.sum(is_ext)
-
-    prev_idx, prev_val = _prev_flagged(is_ext, vals)
-    gap_bad = is_ext & (prev_idx >= 0) & (jnp.abs(vals - prev_val) > limit)
-    return jnp.where(n_ext > 1, ~jnp.any(gap_bad), True)
+    # fewer than 2 extrema -> no adjacent pair -> vacuously True
+    return _adjacent_flagged_gap_ok(v[1:-1], is_ext, limit)
 
 
 def jnp_no_local_max(v, mask):
@@ -203,7 +190,4 @@ def jnp_cwt_oscillation(v, z, mask, limit=0.3, max_width=32):
     inner = mask[1:-1] & mask[:-2] & mask[2:]
     is_ext = (((cwt[1:-1] > cwt[:-2]) & (cwt[1:-1] > cwt[2:]))
               | ((cwt[1:-1] < cwt[:-2]) & (cwt[1:-1] < cwt[2:]))) & inner
-    vals = cwt[1:-1]
-    prev_idx, prev_val = _prev_flagged(is_ext, vals)
-    gap_bad = is_ext & (prev_idx >= 0) & (jnp.abs(vals - prev_val) > limit)
-    return ~jnp.any(gap_bad)
+    return _adjacent_flagged_gap_ok(cwt[1:-1], is_ext, limit)
