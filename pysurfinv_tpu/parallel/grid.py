@@ -48,6 +48,32 @@ _PROGRAM_CACHE = {}
 _PROGRAM_CACHE_MAX = 8
 
 
+def _fetch_rows(rows_dev):
+    """Device -> host fetch of one segment's rows, optionally as
+    parallel chunk streams (``PYSURFINV_FETCH_STREAMS=k``).
+
+    On the tunnelled dev chip a single device->host stream moves
+    ~10 MB/s while concurrent streams aggregate ~3x that, so one
+    33 MB segment fetch costs ~3 s serial.  Chunks slice the lane
+    axis; the result is byte-identical to a whole-array fetch.
+    Default 1 stream (plain ``np.asarray``) — local PCIe hosts gain
+    nothing from chunking.
+    """
+    k = int(os.environ.get("PYSURFINV_FETCH_STREAMS", "1"))
+    n_lanes = rows_dev.shape[1]
+    if k <= 1 or n_lanes < 2 * k:
+        return np.asarray(rows_dev)
+    from concurrent.futures import ThreadPoolExecutor
+    bounds = np.linspace(0, n_lanes, k + 1).astype(int)
+    parts = [rows_dev[:, a:b] for a, b in zip(bounds[:-1], bounds[1:])]
+    out = np.empty(rows_dev.shape, rows_dev.dtype)
+    def pull(i):
+        out[:, bounds[i]:bounds[i + 1]] = np.asarray(parts[i])
+    with ThreadPoolExecutor(max_workers=k) as pool:
+        list(pool.map(pull, range(k)))
+    return out
+
+
 def _structure_key(cm):
     """Hashable fingerprint of everything a CompiledModel bakes into the
     traced graph as a constant: layer classes and static parms (theta /
@@ -524,7 +550,7 @@ def invert_grid(points, lonlats, outdir="mcdata", runN=24000, chainL=800,
                         s += n
                     t_fetch = time.time()
                     n0, s_after, rows0, carry0 = pending[0]
-                    host_rows = np.asarray(rows0)[:n0]
+                    host_rows = _fetch_rows(rows0)[:n0]
                     host_carry = jax.tree.map(np.asarray, carry0)
                     pending.pop(0)
                     if seg_debug:

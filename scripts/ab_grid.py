@@ -66,6 +66,10 @@ VARIANTS = {
     # full README row shapes (24,000 samples)
     "full64":   ({}, 64, 24000, 800),
     "full256":  ({}, 256, 24000, 800),
+    # parallel device->host chunk streams for the segment fetch
+    "full64f4":  ({"PYSURFINV_FETCH_STREAMS": "4"}, 64, 24000, 800),
+    "full256f4": ({"PYSURFINV_FETCH_STREAMS": "4"}, 256, 24000, 800),
+    "full256f8": ({"PYSURFINV_FETCH_STREAMS": "8"}, 256, 24000, 800),
 }
 
 MCMC_KEYS = [k for k in ("PYSURFINV_MCMC_NSCAN", "PYSURFINV_MCMC_BACKOFF",
@@ -74,7 +78,8 @@ MCMC_KEYS = [k for k in ("PYSURFINV_MCMC_NSCAN", "PYSURFINV_MCMC_BACKOFF",
                          "PYSURFINV_MCMC_NEWTON_SEP",
                          "PYSURFINV_ISGOOD_FULL",
                          "PYSURFINV_PROPOSE_RATIO",
-                         "PYSURFINV_PROPOSE_FLAT")]
+                         "PYSURFINV_PROPOSE_FLAT",
+                         "PYSURFINV_FETCH_STREAMS")]
 
 
 def run_variant(label, env, n_points, runN, chainL, repeats=2):

@@ -223,6 +223,28 @@ def test_chainL1_degenerate(tmp_path):
     assert np.isfinite(tr).all()
 
 
+def test_parallel_fetch_streams_identical(invdir, tmp_path, monkeypatch):
+    """PYSURFINV_FETCH_STREAMS chunked segment fetches are byte-identical.
+
+    The chunked path exists for the tunnelled dev chip's ~10 MB/s
+    single-stream device->host bandwidth; it slices the lane axis and
+    must never change the written tracks.
+    """
+    from pysurfinv_tpu.parallel.grid import invert_grid
+    from pysurfinv_tpu.parallel.mesh import points_mesh
+
+    monkeypatch.setenv("PYSURFINV_FETCH_STREAMS", "4")
+    outdir1 = str(tmp_path / "mcf4")
+    pts, lls = _mk_points()
+    invert_grid(pts, lls, outdir=outdir1, runN=24, chainL=8, seed=3,
+                mesh=points_mesh(4), verbose=False)
+    for lon, lat in lls:
+        pid = f"{lon:g}_{lat:g}"
+        a = np.load(f"{invdir}/{pid}.npz", allow_pickle=True)["mcTrack"]
+        b = np.load(f"{outdir1}/{pid}.npz", allow_pickle=True)["mcTrack"]
+        np.testing.assert_array_equal(a, b)
+
+
 def test_checkpoint_config_mismatch(tmp_path):
     """Resuming a checkpoint from a different run configuration raises
     instead of silently producing corrupted tracks (advisor r1)."""
