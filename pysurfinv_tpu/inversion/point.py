@@ -121,7 +121,10 @@ class Point:
         this single point, so MCinvMP shares the sharded grid driver's
         traced-program cache (repeated calls skip ~20-30 s of host
         retracing per call), pipelined segment fetches, fault retry and
-        warm-started roots — one code path, one set of semantics.
+        warm-started roots — one code path, one set of semantics.  On a
+        multi-chip mesh the chain lanes shard across ALL devices (lane-
+        granularity padding in invert_grid), so a single point scales
+        to a pod without replication waste.
         "legacy" keeps the per-chain vmapped kernel.  Both target the
         same stationary distribution; RNG streams differ between the
         two samplers (the batched lane keys are identical to

@@ -394,36 +394,47 @@ def invert_grid(points, lonlats, outdir="mcdata", runN=24000, chainL=800,
 
     mesh = mesh or points_mesh()
     n_dev = mesh.devices.size
-    pad = (-K) % n_dev  # pad the point axis to the device count
     shard = NamedSharding(mesh, P("points"))
 
-    def padk(x):
-        if pad == 0:
-            return x
-        reps = jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)])
-        return reps
-
-    ctx = (padk(psi), padk(periods), padk(obs_c), padk(uncer), padk(obs_m))
-    spec_p = BrownianSpec(*[padk(getattr(spec, f))
-                            for f in BrownianSpec._fields])
+    ctx = (psi, periods, obs_c, uncer, obs_m)   # per point, unpadded
     put = lambda x: jax.device_put(x, shard)  # noqa: E731
 
     if sampler == "batched":
         init_all, seg_all = _batched_programs(cm, pcls, cfg, wave,
                                               mcmc_solver_cfg(), mesh)
 
-        # lanes = (point, chain), point-major, sharded on points.
+        # lanes = (point, chain), point-major, sharded on the flat lane
+        # axis.  Padding happens at LANE granularity: the lane count is
+        # rounded up to the device count with replicas of the last lane
+        # (discarded on output), so a single point's chains spread over
+        # the whole mesh (MCinvMP on a pod = n_dev-way parallel) instead
+        # of burning (n_dev-1)/n_dev of it on replicated points.
         # Per-lane keys are a pure function of the GLOBAL lane index,
-        # so the tracks are bitwise independent of the mesh size (see
-        # tests/test_parallel_grid.py sharding-identity test).
-        rep = lambda x: jnp.repeat(x, n_chains, axis=0)  # noqa: E731
-        ctx_l = jax.tree.map(lambda x: put(rep(x)), ctx)
-        spec_l = jax.tree.map(lambda x: put(rep(x)), spec_p)
+        # so the tracks are bitwise independent of the mesh size and of
+        # the padding while every shard holds >= 2 lanes; degenerate
+        # 1-lane shards agree only to f64 rounding (XLA scalarizes the
+        # size-1 lane dim and re-associates fp math) — see
+        # tests/test_parallel_grid.py sharding-identity + single-point
+        # tests.
+        n_real = K * n_chains
+        padL = (-n_real) % n_dev
+
+        def lanes(x):
+            r = jnp.repeat(x, n_chains, axis=0)
+            if padL:
+                r = jnp.concatenate([r, jnp.repeat(r[-1:], padL, axis=0)])
+            return r
+
+        ctx_l = jax.tree.map(lambda x: put(lanes(x)), ctx)
+        spec_l = jax.tree.map(lambda x: put(lanes(x)), spec)
         theta0_l = spec_l.theta0
-        use_init = put(jnp.tile(jnp.arange(n_chains) == 0, K + pad))
+        ui = jnp.tile(jnp.arange(n_chains) == 0, K)
+        if padL:
+            ui = jnp.concatenate([ui, jnp.zeros((padL,), bool)])
+        use_init = put(ui)
         key0 = jax.random.PRNGKey(seed)
         lane_keys = put(jax.vmap(lambda i: jax.random.fold_in(key0, i))(
-            jnp.arange((K + pad) * n_chains) + _lane_offset))
+            jnp.arange(n_real + padL) + _lane_offset))
 
         def _transient(e):
             """Device/infra faults worth retrying (the tunnelled chip
@@ -459,7 +470,7 @@ def invert_grid(points, lonlats, outdir="mcdata", runN=24000, chainL=800,
             re-attempts inside attempt() — so no transient filter here;
             a truly flaky chip merely lands in (correct, slower) tiles."""
             return (auto and not _no_fallback
-                    and (K + pad) * n_chains > FALLBACK_LANES
+                    and n_real + padL > FALLBACK_LANES
                     and not isinstance(e, KeyboardInterrupt))
 
         with mesh:
@@ -467,7 +478,7 @@ def invert_grid(points, lonlats, outdir="mcdata", runN=24000, chainL=800,
             n_done = 0      # completed segments (testing hook)
             row_segs = []   # time-major segment rows (checkpoint payload)
             tracks_buf = None  # lane-major (N, chainL, w) output buffer
-            n_lanes_tot = (K + pad) * n_chains
+            n_lanes_tot = n_real + padL
 
             def _store(host_rows, s_after):
                 """Transpose one fetched segment into the lane-major
@@ -487,7 +498,7 @@ def invert_grid(points, lonlats, outdir="mcdata", runN=24000, chainL=800,
             carry = first = None
             ck_meta = {"fmt": 3, "seed": seed + _lane_offset,
                        "runN": runN, "chainL": chainL, "K": K,
-                       "n_lanes": (K + pad) * n_chains}
+                       "n_lanes": n_real + padL}
             if resume and checkpoint and os.path.exists(checkpoint):
                 ck = np.load(checkpoint, allow_pickle=True)
                 got = {k: int(ck[k]) for k in ck_meta if k in ck}
@@ -610,7 +621,7 @@ def invert_grid(points, lonlats, outdir="mcdata", runN=24000, chainL=800,
         # row 0 of the first segment is the init-evaluation row;
         # tracks_buf is already lane-major (point-major lanes), so this
         # reshape is a view
-        tracks = tracks_buf.reshape(K + pad, n_chains, chainL, -1)[:K]
+        tracks = tracks_buf[:n_real].reshape(K, n_chains, chainL, -1)
     else:
         kernel = make_chain_kernel(isgood, chi_sqr, cfg)
 
@@ -621,9 +632,18 @@ def invert_grid(points, lonlats, outdir="mcdata", runN=24000, chainL=800,
                                                   spec_k.theta0, ui))(
                 keys, use_init)
 
+        # this per-point vmap path shards whole points, so it pads the
+        # POINT axis to the device count (replicas discarded below)
+        pad = (-K) % n_dev
+
+        def padk(x):
+            if pad == 0:
+                return x
+            return jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)])
+
         keys = jax.random.split(jax.random.PRNGKey(seed), K + pad)
-        ctx_p = jax.tree.map(put, ctx)
-        spec_pp = jax.tree.map(put, spec_p)
+        ctx_p = jax.tree.map(lambda x: put(padk(x)), ctx)
+        spec_pp = jax.tree.map(lambda x: put(padk(x)), spec)
         keys = put(keys)
 
         run_all = jax.jit(jax.vmap(point_fn))

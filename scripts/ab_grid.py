@@ -70,6 +70,11 @@ VARIANTS = {
     "full64f4":  ({"PYSURFINV_FETCH_STREAMS": "4"}, 64, 24000, 800),
     "full256f4": ({"PYSURFINV_FETCH_STREAMS": "4"}, 256, 24000, 800),
     "full256f8": ({"PYSURFINV_FETCH_STREAMS": "8"}, 256, 24000, 800),
+    # priori=True skips the forward solve entirely: measures the
+    # sampler scaffold alone (propose + isgood priors + scan + IO) to
+    # split the step cost into scaffold vs dispersion solve
+    "priori64": ({}, 64, 6000, 200, {"priori": True}),
+    "priori64full": ({}, 64, 24000, 800, {"priori": True}),
 }
 
 MCMC_KEYS = [k for k in ("PYSURFINV_MCMC_NSCAN", "PYSURFINV_MCMC_BACKOFF",
@@ -82,7 +87,7 @@ MCMC_KEYS = [k for k in ("PYSURFINV_MCMC_NSCAN", "PYSURFINV_MCMC_BACKOFF",
                          "PYSURFINV_FETCH_STREAMS")]
 
 
-def run_variant(label, env, n_points, runN, chainL, repeats=2):
+def run_variant(label, env, n_points, runN, chainL, repeats=2, **kw):
     from pysurfinv_tpu.parallel import grid
     from pysurfinv_tpu.parallel.grid import invert_grid
     for k in MCMC_KEYS:
@@ -99,7 +104,7 @@ def run_variant(label, env, n_points, runN, chainL, repeats=2):
         out = f"/tmp/ab_grid/{label}_{rep}"
         t0 = time.time()
         invert_grid(pts, lls, outdir=out, runN=runN, chainL=chainL,
-                    seed=1, segment=100)
+                    seed=1, segment=100, **kw)
         times.append(time.time() - t0)
     total = n_points * runN
     return times, total
@@ -110,11 +115,13 @@ def main():
     labels = sel.split(",") if sel else list(VARIANTS)
     results = []
     for label in labels:
-        env, n_points, runN, chainL = VARIANTS[label]
+        env, n_points, runN, chainL, *rest = VARIANTS[label]
+        kw = rest[0] if rest else {}
         print(f"=== {label}: {n_points} pts x {runN} "
               f"(chainL={chainL}, lanes={n_points * runN // chainL}, "
-              f"env={env}) ===", flush=True)
-        times, total = run_variant(label, env, n_points, runN, chainL)
+              f"env={env}{', ' + repr(kw) if kw else ''}) ===", flush=True)
+        times, total = run_variant(label, env, n_points, runN, chainL,
+                                   **kw)
         results.append((label, times, total))
         for rep, dt in enumerate(times):
             print(f"  run{rep}: {dt:.1f}s = {total / dt:,.0f} solves/s",

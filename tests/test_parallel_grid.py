@@ -87,6 +87,34 @@ def test_sharding_does_not_change_results(invdir, tmp_path):
         np.testing.assert_array_equal(a, b)
 
 
+def test_single_point_shards_across_mesh(tmp_path):
+    """ONE point's chains spread over the whole mesh.
+
+    Lanes are padded at lane (chain) granularity, not point
+    granularity, so MCinvMP-style single-point runs use every device
+    instead of replicating the point n_dev times.  Per-lane keys derive
+    from the global lane index, so the track is bitwise independent of
+    the mesh size as long as every shard holds >= 2 lanes; with
+    degenerate 1-lane shards XLA scalarizes the size-1 lane dim and
+    re-associates the fp math, so agreement there is at f64 rounding
+    (measured ~3e-12 relative), not bitwise.
+    """
+    from pysurfinv_tpu.parallel.grid import invert_grid
+    from pysurfinv_tpu.parallel.mesh import points_mesh
+
+    pts, lls = _mk_points()
+    tracks = {}
+    for nd in (1, 2, 4, 8):   # 8 chains -> 8, 4, 2, 1 lanes per shard
+        outdir = str(tmp_path / f"mc_sp{nd}")
+        invert_grid(pts[:1], lls[:1], outdir=outdir, runN=64, chainL=8,
+                    seed=3, mesh=points_mesh(nd), verbose=False)
+        tracks[nd] = np.load(f"{outdir}/229_46.npz",
+                             allow_pickle=True)["mcTrack"]
+    np.testing.assert_array_equal(tracks[1], tracks[2])
+    np.testing.assert_array_equal(tracks[1], tracks[4])
+    np.testing.assert_allclose(tracks[8], tracks[1], rtol=1e-9)
+
+
 def test_segmented_resume_matches_monolithic(invdir, tmp_path):
     """Segmented execution + mid-chain checkpoint/resume are bitwise
     identical to the monolithic scan.
