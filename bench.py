@@ -94,25 +94,28 @@ def main():
     QSI = jnp.asarray(batch[:, 4])
     NL = jnp.full((B,), nlay, dtype=jnp.int32)
 
-    # nbisect=9 Illinois from the 2*dc warm bracket: phase roots at the
-    # f32 noise floor (max|dc| 2.4e-5 vs a 40-iteration oracle, q99
-    # 2.9e-6), group velocity within the 0.1% parity budget at q99
-    # (|du| median 3.3e-4, q99 1.7e-3 km/s; the worst-lane ~3e-2 tail
-    # is f32 tangent sensitivity present at ANY iteration count, incl.
-    # the old nbisect=11 default: 11-vs-40 max|du| 3.7e-2).  nscan=12
+    # nbisect=8 Illinois from the 2*dc warm bracket: phase roots at the
+    # f32 noise floor (max|dc| 2.9e-6 q99 vs a 40-iteration oracle),
+    # group velocity within the 0.1% parity budget at q99 (|du| median
+    # 6.4e-4, q99 3.1e-3 km/s; the worst-lane ~3e-2 tail is f32
+    # tangent sensitivity present at ANY iteration count, incl. the
+    # old nbisect=11 default: 11-vs-40 max|du| 3.7e-2).  nscan=12
     # at coarse=2 with warm_backoff=4 covers c(T) steps up to
     # 0.16 km/s between adjacent periods — ~4x the largest step of the
     # shipped model families (validated ok=1.000 + root parity vs
     # nscan=64).  coarse_first=16 halves the cold first-period sweep:
     # root parity vs coarse_first=8 exact to 2.4e-6 over all 1.18M
-    # lane-periods of this batch, ok=1.000.  Ladder measured in ONE
+    # lane-periods of this batch, ok=1.000.  Ladders measured in ONE
     # process bracketed by identical baseline runs (117,571 both):
-    # nb11/cf8 117.6k -> nb9/cf8 125.2k -> nb9/cf16 128.7k solves/s.
+    # nb11/cf8 117.6k -> nb9/cf8 125.2k -> nb9/cf16 128.7k solves/s;
+    # sweep-density ladder (scripts/ab_sweep.py, brackets 132.4/132.3k):
+    # nb9 132.4k -> nb8 137.1k (+3.5%, q99 |du| 1.7e-3 -> 3.1e-3, still
+    # inside the 4e-3 budget); coarse=4 variants were all slower.
     cfg = SurfConfig(
         nmodes=1,
         nscan_first=int(os.environ.get("BENCH_NSCAN_FIRST", 512)),
         nscan=int(os.environ.get("BENCH_NSCAN", 12)),
-        nbisect=int(os.environ.get("BENCH_NBISECT", 9)),
+        nbisect=int(os.environ.get("BENCH_NBISECT", 8)),
         nnewton=int(os.environ.get("BENCH_NNEWTON", 0)),
         newton_sep=int(os.environ.get("BENCH_NEWTON_SEP", 0)),
         warm_backoff=int(os.environ.get("BENCH_BACKOFF", 4)),

@@ -332,6 +332,7 @@ def invert_grid(points, lonlats, outdir="mcdata", runN=24000, chainL=800,
     t0 = time.time()
     marks = []
     _mark = lambda name: marks.append((name, time.time()))  # noqa: E731
+    lane_zc = None   # streaming chain compressor (batched sampler only)
     K = len(points)
     cm = CompiledModel(points[0].initMod)
     _mark("compile_model")
@@ -480,22 +481,40 @@ def invert_grid(points, lonlats, outdir="mcdata", runN=24000, chainL=800,
             tracks_buf = None  # lane-major (N, chainL, w) output buffer
             n_lanes_tot = n_real + padL
 
+            # Stream-compress committed rows while the device runs
+            # later segments: the npz write is zlib-bound and strictly
+            # serial on a 1-core host, but during the segment loop the
+            # CPU idles in (GIL-released) fetches — so by the time the
+            # last segment lands, the chain files are already deflated
+            # and the write phase is pure assembly (utils.py
+            # StreamingLaneCompressor).  PYSURFINV_STREAM_NPZ=0 opts
+            # out (falls back to the end-of-run savez_fast pool).
+            stream_npz = (os.environ.get("PYSURFINV_STREAM_NPZ", "1")
+                          != "0")
+
             def _store(host_rows, s_after):
                 """Transpose one fetched segment into the lane-major
                 output buffer.  Doing it per segment keeps the copy
                 inside the pipeline slack (the device is running the
                 next segment) — one big end-of-run transpose measured
                 ~18 s on a cold-page host vs ~1 s amortized here."""
-                nonlocal tracks_buf
+                nonlocal tracks_buf, lane_zc
                 if tracks_buf is None:
                     tracks_buf = np.empty(
                         (n_lanes_tot, chainL, host_rows.shape[-1]),
                         host_rows.dtype)
+                    if stream_npz:
+                        from pysurfinv_tpu.utils import (
+                            StreamingLaneCompressor)
+                        # padding lanes are never written: skip them
+                        lane_zc = StreamingLaneCompressor(n_real)
                 n0 = host_rows.shape[0]
                 tracks_buf[:, s_after - n0:s_after] = np.moveaxis(
                     host_rows, 0, 1)
+                if lane_zc is not None:
+                    lane_zc.feed(tracks_buf, s_after - n0, s_after)
 
-            carry = first = None
+            carry = None
             ck_meta = {"fmt": 3, "seed": seed + _lane_offset,
                        "runN": runN, "chainL": chainL, "K": K,
                        "n_lanes": n_real + padL}
@@ -579,6 +598,8 @@ def invert_grid(points, lonlats, outdir="mcdata", runN=24000, chainL=800,
                                   f"retiling at {FALLBACK_LANES} lanes")
                         return _tiled(FALLBACK_LANES)
                     if tries >= retries or not _transient(e):
+                        if lane_zc is not None:
+                            lane_zc.abort()  # stop the deflate worker
                         raise
                     tries += 1
                     back = sync[0] if sync else "init"
@@ -615,6 +636,8 @@ def invert_grid(points, lonlats, outdir="mcdata", runN=24000, chainL=800,
                         and n_done >= _abort_after_segments
                         and s_after < chainL):
                     # testing hook: simulate the process dying mid-run
+                    if lane_zc is not None:
+                        lane_zc.abort()
                     raise KeyboardInterrupt("aborted after "
                                             f"{n_done} segments")
         _mark("segments")
@@ -654,19 +677,52 @@ def invert_grid(points, lonlats, outdir="mcdata", runN=24000, chainL=800,
 
     # ---- write reference-format npz per point ---------------------------
     # zlib is the bottleneck of the write phase (measured 11 s serial
-    # for 64 points x 24k samples); compress at deflate level 1
-    # (savez_fast) and across a thread pool (zlib releases the GIL)
-    from pysurfinv_tpu.utils import savez_fast
+    # for 64 points x 24k samples) and this host has ONE core, so the
+    # batched sampler deflates each lane's rows DURING the segment loop
+    # (lane_zc, fed in _store while the CPU idles in device fetches);
+    # here each point's entry is assembled by concatenating its lanes'
+    # compressed chunks — no end-of-run recompression.  The fallback
+    # (legacy sampler / PYSURFINV_STREAM_NPZ=0) compresses at write
+    # time across a thread pool (zlib releases the GIL).
+    from pysurfinv_tpu.utils import (DEFLATE_TERMINATOR, deflate_bytes,
+                                     npy_bytes, npy_header_bytes,
+                                     savez_fast,
+                                     write_npz_precompressed)
     os.makedirs(outdir, exist_ok=True)
+
+    if lane_zc is not None:
+        import zlib
+        lane_zc.close()
+        w_row = tracks_buf.shape[-1]
+        hdr = npy_header_bytes((runN, w_row), tracks_buf.dtype)
+        hobj = zlib.compressobj(1, zlib.DEFLATED, -15)
+        hparts = [hobj.compress(hdr) + hobj.flush(zlib.Z_FULL_FLUSH)]
+        raw_size = len(hdr) + n_chains * chainL * w_row * \
+            tracks_buf.itemsize
 
     def _write(k_lonlat):
         k, (lon, lat) = k_lonlat
         pid = pids[k] if pids else f"{lon:g}_{lat:g}"
-        savez_fast(
-            f"{outdir}/{pid}.npz", mcTrack=tracks[k].reshape(runN, -1),
-            setting=dict(points[k].initMod.toYML()), obs=points[k].obs,
-            invMeta={"pid": pid, "chainL": chainL})
-        return f"{outdir}/{pid}.npz"
+        path = f"{outdir}/{pid}.npz"
+        meta = dict(setting=dict(points[k].initMod.toYML()),
+                    obs=points[k].obs,
+                    invMeta={"pid": pid, "chainL": chainL})
+        if lane_zc is not None:
+            lo = k * n_chains
+            crc = zlib.crc32(hdr)
+            for lane in range(lo, lo + n_chains):
+                crc = zlib.crc32(tracks_buf[lane], crc)
+            entries = [("mcTrack", raw_size, crc,
+                        hparts + lane_zc.lane_chunks(lo, lo + n_chains)
+                        + [DEFLATE_TERMINATOR])]
+            for name, val in meta.items():
+                b = npy_bytes(val)
+                c, parts = deflate_bytes(b)
+                entries.append((name, len(b), c, parts))
+            write_npz_precompressed(path, entries)
+        else:
+            savez_fast(path, mcTrack=tracks[k].reshape(runN, -1), **meta)
+        return path
 
     from pysurfinv_tpu.utils import host_eager
     with host_eager():  # toYML walks layers eagerly; keep it off the tunnel

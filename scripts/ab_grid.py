@@ -70,6 +70,10 @@ VARIANTS = {
     "full64f4":  ({"PYSURFINV_FETCH_STREAMS": "4"}, 64, 24000, 800),
     "full256f4": ({"PYSURFINV_FETCH_STREAMS": "4"}, 256, 24000, 800),
     "full256f8": ({"PYSURFINV_FETCH_STREAMS": "8"}, 256, 24000, 800),
+    # end-of-run savez_fast pool instead of the streaming lane deflater
+    "full256s0": ({"PYSURFINV_STREAM_NPZ": "0"}, 256, 24000, 800),
+    "full256s0f4": ({"PYSURFINV_STREAM_NPZ": "0",
+                     "PYSURFINV_FETCH_STREAMS": "4"}, 256, 24000, 800),
     # priori=True skips the forward solve entirely: measures the
     # sampler scaffold alone (propose + isgood priors + scan + IO) to
     # split the step cost into scaffold vs dispersion solve
@@ -84,7 +88,8 @@ MCMC_KEYS = [k for k in ("PYSURFINV_MCMC_NSCAN", "PYSURFINV_MCMC_BACKOFF",
                          "PYSURFINV_ISGOOD_FULL",
                          "PYSURFINV_PROPOSE_RATIO",
                          "PYSURFINV_PROPOSE_FLAT",
-                         "PYSURFINV_FETCH_STREAMS")]
+                         "PYSURFINV_FETCH_STREAMS",
+                         "PYSURFINV_STREAM_NPZ")]
 
 
 def run_variant(label, env, n_points, runN, chainL, repeats=2, **kw):

@@ -115,6 +115,37 @@ def test_single_point_shards_across_mesh(tmp_path):
     np.testing.assert_allclose(tracks[8], tracks[1], rtol=1e-9)
 
 
+def test_streamed_npz_matches_savez(invdir, tmp_path, monkeypatch):
+    """The streaming lane compressor writes np.load-identical npz files.
+
+    The default batched path deflates each lane's rows during the
+    segment loop and assembles the zip by hand
+    (utils.write_npz_precompressed); PYSURFINV_STREAM_NPZ=0 recompresses
+    everything at write time through zipfile/savez_fast.  Entry values,
+    dtypes, and zip CRCs must agree exactly.
+    """
+    import zipfile
+    from pysurfinv_tpu.parallel.grid import invert_grid
+    from pysurfinv_tpu.parallel.mesh import points_mesh
+
+    monkeypatch.setenv("PYSURFINV_STREAM_NPZ", "0")
+    outdir0 = str(tmp_path / "mc_plain")
+    pts, lls = _mk_points()
+    invert_grid(pts, lls, outdir=outdir0, runN=24, chainL=8, seed=3,
+                mesh=points_mesh(4), verbose=False)
+    for lon, lat in lls:
+        pid = f"{lon:g}_{lat:g}"
+        a = np.load(f"{invdir}/{pid}.npz", allow_pickle=True)  # streamed
+        b = np.load(f"{outdir0}/{pid}.npz", allow_pickle=True)
+        assert sorted(a.files) == sorted(b.files)
+        assert a["mcTrack"].dtype == b["mcTrack"].dtype
+        np.testing.assert_array_equal(a["mcTrack"], b["mcTrack"])
+        for key in ("setting", "obs", "invMeta"):
+            assert repr(a[key][()]) == repr(b[key][()])
+        with zipfile.ZipFile(f"{invdir}/{pid}.npz") as zf:
+            assert zf.testzip() is None  # hand-built container + CRCs
+
+
 def test_segmented_resume_matches_monolithic(invdir, tmp_path):
     """Segmented execution + mid-chain checkpoint/resume are bitwise
     identical to the monolithic scan.
