@@ -56,6 +56,15 @@ VARIANTS = {
     "coarse4":  ({"PYSURFINV_MCMC_COARSE": "4"}, 64, 6000, 200),
     "coarse4b12": ({"PYSURFINV_MCMC_COARSE": "4",
                     "PYSURFINV_MCMC_NBISECT": "12"}, 64, 6000, 200),
+    # quarter the probe rows (8*dc step over the same [-12,+20]*dc
+    # window; Illinois-11 from an 8*dc cell still reaches ~4e-5 km/s)
+    "coarse8":  ({"PYSURFINV_MCMC_COARSE": "8"}, 64, 6000, 200),
+    "coarse8b12": ({"PYSURFINV_MCMC_COARSE": "8",
+                    "PYSURFINV_MCMC_NBISECT": "12"}, 64, 6000, 200),
+    # trimmed warm window [-10,+14]*dc (measured per-step drift was
+    # [-6.9,+7.2]*dc; rescue may fire occasionally — watch wall time)
+    "nscan24b10": ({"PYSURFINV_MCMC_NSCAN": "24",
+                    "PYSURFINV_MCMC_BACKOFF": "10"}, 64, 6000, 200),
     # all Illinois iterations in one plain-body kernel launch
     "fuse_ill": ({"PYSURFINV_MCMC_FUSE_ILL": "1"}, 64, 6000, 200),
     # the pre-round-2 full isgood build (vs-only fast path disabled)
