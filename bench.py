@@ -168,7 +168,7 @@ def main():
     t_j, ok_j = time_best(run_joint)
 
     solves_per_sec = B / t_r
-    print(json.dumps({
+    result = {
         "metric": "rayleigh_dispersion_solves_per_sec_per_chip",
         "value": round(solves_per_sec, 1),
         "unit": "solves/s (18-period fundamental-mode curve, batch "
@@ -178,7 +178,75 @@ def main():
         "love_ok": round(ok_l, 3),
         "joint_rl_solves_per_sec": round(B / t_j, 1),
         "joint_rl_ok": round(ok_j, 3),
-    }))
+    }
+    # Print the headline line FIRST so a timeout in the (optional)
+    # MCMC section can never cost the forward metrics; on success a
+    # second, augmented line supersedes it (the driver takes the last
+    # JSON line).
+    print(json.dumps(result), flush=True)
+
+    extra = None
+    if os.environ.get("BENCH_MCMC", "1") == "1":
+        try:
+            extra = bench_mcmc()
+        except Exception as e:  # noqa: BLE001 — never lose the headline
+            print(f"# mcmc bench skipped: {type(e).__name__}: {e}",
+                  file=sys.stderr, flush=True)
+    if extra:
+        result.update(extra)
+        print(json.dumps(result), flush=True)
+
+
+def bench_mcmc():
+    """End-to-end sharded MCMC throughput (BASELINE configs 4-5).
+
+    One effective "solve" = one Metropolis sample (proposal build +
+    prior checks + fused 18-period forward + accept + chain record)
+    of ``invert_grid`` — the flagship production path.  Steady state
+    = the second call: the traced sampler program is cached per model
+    structure, so real surveys (many tiles / repeated calls) pay host
+    tracing once.  The cold first call is reported alongside.
+    """
+    import shutil
+    import tempfile
+
+    from examples.invert_point import (localInfo, periods, setting,
+                                       uncers, vels)
+    from pysurfinv_tpu.inversion.point import PointCascadia
+    from pysurfinv_tpu.parallel.grid import invert_grid
+
+    n_points = int(os.environ.get("BENCH_MCMC_POINTS", 64))
+    runN = int(os.environ.get("BENCH_MCMC_RUNN", 6000))
+    chainL = int(os.environ.get("BENCH_MCMC_CHAINL", 200))
+    rng = np.random.default_rng(0)
+    pts, lls = [], []
+    for k in range(n_points):
+        local = dict(localInfo)
+        local["sedthk"] = float(0.02 + 0.9 * rng.random())
+        local["lithoAge"] = float(0.5 + 8.0 * rng.random())
+        pts.append(PointCascadia(setting, local, periods=periods,
+                                 vels=vels, uncers=uncers))
+        lls.append((228.0 + 0.1 * (k % 8), 45.0 + 0.1 * (k // 8)))
+
+    times = []
+    for _ in range(2):
+        out = tempfile.mkdtemp(prefix="bench_mcmc_")
+        try:
+            t0 = time.perf_counter()
+            invert_grid(pts, lls, outdir=out, runN=runN, chainL=chainL,
+                        seed=1, segment=100, verbose=False)
+            times.append(time.perf_counter() - t0)
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+    return {
+        "mcmc_effective_solves_per_sec": round(n_points * runN
+                                               / min(times), 1),
+        "mcmc_workload": f"{n_points} pts x {runN} samples "
+                         f"(chainL={chainL}, "
+                         f"{n_points * runN // chainL} lanes), "
+                         "steady state",
+        "mcmc_cold_first_call_s": round(times[0], 1),
+    }
 
 
 if __name__ == "__main__":

@@ -104,16 +104,20 @@ def mcmc_solver_cfg():
     signed drift within [-6.9, +7.2]*dc — so [-12, +20]*dc misses
     ~never and the all-lanes rescue cond stays cold (at [-6, +18] the
     tail fired it every step, costing warm + cold + rescue).
-    coarse=4: the warm sweep probes the window at 4*dc (halving the
-    biggest launch's probe rows) and hands Illinois a 4*dc bracket.
-    Measured +12.6% end-to-end (57.1k vs 50.7k solves/s, 64 pts x
-    6,000, same-process A/B); root accuracy vs a 40-iteration oracle
-    on 1.18M lane-periods: q99 |dc| 3.9e-5 km/s (coarse=2: 1.9e-5),
-    max 7.4e-4 — ~100x inside the 0.1% parity budget, and far below
-    observational sigma (>= 0.01 km/s), so recorded misfits are
-    unaffected at chain precision.  nbisect=11: Illinois from the
-    4*dc bracket still reaches the f32 noise floor; dropping to 9
-    lifts q99 to 1.4e-4 for only +3% — rejected.
+    coarse=8: the warm sweep probes the window at 8*dc (quartering
+    the biggest launch's probe rows vs coarse=2) and hands Illinois an
+    8*dc bracket.  Ladder (same-process, 64 pts x 6,000, bracketed by
+    base runs): coarse=4 +12.6% (57.1k vs 50.7k), coarse=8 a further
+    +15% (78.0k vs 67.9k/59.6k brackets); root accuracy vs a
+    40-iteration oracle on 1.18M lane-periods: q99 |dc| 8.5e-5 km/s
+    (coarse=4: 3.9e-5), max 1.5e-3, ok-match exact — ~50x inside the
+    0.1% parity budget and far below observational sigma
+    (>= 0.01 km/s).  Recorded-chain statistics across the full 64-pt
+    workload are indistinguishable from coarse=4 (acceptance delta
+    1.3e-4, min-misfit delta 1.2e-3 on O(2) values;
+    scripts/compare_tracks.py).  nbisect=11: Illinois from the 8*dc
+    bracket still reaches q99 8.5e-5; +1 iteration (nbisect=12)
+    measured the same throughput — not worth the launch.
 
     The PYSURFINV_MCMC_* env knobs exist for on-chip A/B runs only;
     the committed defaults are the validated configuration.
@@ -124,7 +128,7 @@ def mcmc_solver_cfg():
                       nscan=int(e("PYSURFINV_MCMC_NSCAN", 32)),
                       warm_backoff=int(e("PYSURFINV_MCMC_BACKOFF", 12)),
                       nbisect=int(e("PYSURFINV_MCMC_NBISECT", 11)),
-                      coarse=int(e("PYSURFINV_MCMC_COARSE", 4)),
+                      coarse=int(e("PYSURFINV_MCMC_COARSE", 8)),
                       fuse_illinois=e("PYSURFINV_MCMC_FUSE_ILL", "0") == "1",
                       nnewton=int(e("PYSURFINV_MCMC_NNEWTON", 0)),
                       newton_sep=int(e("PYSURFINV_MCMC_NEWTON_SEP", 0)),
