@@ -8,7 +8,10 @@ chip (the reference's f2py fast_surf manages O(10^2-10^3)/s/core).  One
 flattening + per-period root search), i.e. exactly one reference
 ``fast_surf`` call (models.py:27).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints up to TWO JSON lines: the forward headline first (so a timeout
+in the optional MCMC section can never lose it), then — when the MCMC
+bench succeeds — one augmented line that supersedes it.  The LAST JSON
+line is authoritative (the driver takes the last line).
 """
 
 import json

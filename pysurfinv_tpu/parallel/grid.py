@@ -114,8 +114,8 @@ def mcmc_solver_cfg():
     0.1% parity budget and far below observational sigma
     (>= 0.01 km/s).  Recorded-chain statistics across the full 64-pt
     workload are indistinguishable from coarse=4 (acceptance delta
-    1.3e-4, min-misfit delta 1.2e-3 on O(2) values;
-    scripts/compare_tracks.py).  nbisect=11: Illinois from the 8*dc
+    1.3e-4, min-misfit delta 1.2e-3 on O(2) values, median-misfit
+    delta 2.1e-2 on O(14) values; scripts/compare_tracks.py).  nbisect=11: Illinois from the 8*dc
     bracket still reaches q99 8.5e-5; +1 iteration (nbisect=12)
     measured the same throughput — not worth the launch.
 

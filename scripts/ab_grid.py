@@ -63,16 +63,22 @@ VARIANTS = {
                     "PYSURFINV_MCMC_NBISECT": "12"}, 64, 6000, 200),
     # trimmed warm window [-10,+14]*dc (measured per-step drift was
     # [-6.9,+7.2]*dc; rescue may fire occasionally — watch wall time)
+    # NOTE: coarse is pinned explicitly in the window-trim variants —
+    # the shipped default flipped 4 -> 8 mid-round-2, so unpinned
+    # variants would silently change meaning vs historical runs.
     "nscan24b10": ({"PYSURFINV_MCMC_NSCAN": "24",
-                    "PYSURFINV_MCMC_BACKOFF": "10"}, 64, 6000, 200),
+                    "PYSURFINV_MCMC_BACKOFF": "10",
+                    "PYSURFINV_MCMC_COARSE": "4"}, 64, 6000, 200),
     # coarse=8 default (shipped) with a trimmed warm window: 3 probe
     # rows of 8*dc covering [-10,+14]*dc (measured per-step drift
     # [-6.9,+7.2]*dc) — watch for rescue-cond wall time
     "c8n24b10": ({"PYSURFINV_MCMC_NSCAN": "24",
-                  "PYSURFINV_MCMC_BACKOFF": "10"}, 64, 6000, 200),
+                  "PYSURFINV_MCMC_BACKOFF": "10",
+                  "PYSURFINV_MCMC_COARSE": "8"}, 64, 6000, 200),
     # 2 probe rows, [-8,+8]*dc: the +7.2 drift tail grazes the edge
     "c8n16b8": ({"PYSURFINV_MCMC_NSCAN": "16",
-                 "PYSURFINV_MCMC_BACKOFF": "8"}, 64, 6000, 200),
+                 "PYSURFINV_MCMC_BACKOFF": "8",
+                 "PYSURFINV_MCMC_COARSE": "8"}, 64, 6000, 200),
     # all Illinois iterations in one plain-body kernel launch
     "fuse_ill": ({"PYSURFINV_MCMC_FUSE_ILL": "1"}, 64, 6000, 200),
     # the pre-round-2 full isgood build (vs-only fast path disabled)
