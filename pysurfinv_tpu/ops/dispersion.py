@@ -42,7 +42,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from pysurfinv_tpu.ops.flatten import flatten_factors
+from pysurfinv_tpu.ops.flatten import (H_MIN, flatten_factors,
+                                       model_preamble)
 from pysurfinv_tpu.ops.secular import (
     attenuation_rescale,
     effective_halfspace,
@@ -50,7 +51,8 @@ from pysurfinv_tpu.ops.secular import (
     rayleigh_secular,
 )
 
-H_MIN = 1e-3  # thin-layer threshold, models.py:20 of the reference
+# H_MIN (thin-layer threshold, models.py:20) is re-exported from
+# ops.flatten, the home of the shared model preamble.
 
 
 class SurfConfig(NamedTuple):
@@ -326,18 +328,8 @@ def surf_forward(h, vp, vs, rho, qsinv, periods, nlay,
     dtype = h.dtype
     L = h.shape[0]
     idx = jnp.arange(L)
-    # Zero out thin layers: exact identity updates, mirrors the h > 1e-3
-    # filter applied before calling fast_surf (models.py:20).
-    thin = (idx < nlay - 1) & (h <= H_MIN)
-    h_eff = jnp.where(thin | (idx >= nlay - 1), 0.0, h)
-
     kind = 1 if wave in ("love", "lov", "L") else 2
-    if cfg.flat:
-        fac = flatten_factors(h_eff, nlay, kind)
-    else:
-        from pysurfinv_tpu.ops.flatten import FlatFactors
-        ones = jnp.ones_like(h_eff)
-        fac = FlatFactors(h_flat=h_eff, vel_fac=ones, rho_fac=ones)
+    h_eff, fac = model_preamble(h, nlay, kind, cfg.flat)
 
     F = _secular_fn(wave)
     nmodes = cfg.nmodes
@@ -475,13 +467,7 @@ def surf_ellipticity(h, vp, vs, rho, qsinv, periods, nlay,
                                     cfg=cfg._replace(compute_group=False))
     L = h.shape[0]
     idx = jnp.arange(L)
-    thin = (idx < nlay - 1) & (h <= H_MIN)
-    h_eff = jnp.where(thin | (idx >= nlay - 1), 0.0, h)
-    fac = flatten_factors(h_eff, nlay, 2) if cfg.flat else None
-    if fac is None:
-        from pysurfinv_tpu.ops.flatten import FlatFactors
-        ones = jnp.ones_like(h_eff)
-        fac = FlatFactors(h_flat=h_eff, vel_fac=ones, rho_fac=ones)
+    h_eff, fac = model_preamble(h, nlay, 2, cfg.flat)
 
     nmodes = cfg.nmodes
     t_l = jnp.repeat(periods, nmodes)
@@ -519,14 +505,7 @@ def surf_amplitude(h, vp, vs, rho, qsinv, periods, nlay,
                                     cfg=cfg._replace(compute_group=False))
     L = h.shape[0]
     idx = jnp.arange(L)
-    thin = (idx < nlay - 1) & (h <= H_MIN)
-    h_eff = jnp.where(thin | (idx >= nlay - 1), 0.0, h)
-    if cfg.flat:
-        fac = flatten_factors(h_eff, nlay, 2)
-    else:
-        from pysurfinv_tpu.ops.flatten import FlatFactors
-        ones = jnp.ones_like(h_eff)
-        fac = FlatFactors(h_flat=h_eff, vel_fac=ones, rho_fac=ones)
+    h_eff, fac = model_preamble(h, nlay, 2, cfg.flat)
 
     nmodes = cfg.nmodes
     t_l = jnp.repeat(periods, nmodes)

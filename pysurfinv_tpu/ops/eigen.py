@@ -38,7 +38,7 @@ from pysurfinv_tpu.ops.dispersion import (
     _model_at_period,
     surf_forward,
 )
-from pysurfinv_tpu.ops.flatten import FlatFactors, flatten_factors
+from pysurfinv_tpu.ops.flatten import model_preamble
 from pysurfinv_tpu.ops.secular import effective_halfspace
 
 TWO_PI = 6.283185307179586
@@ -227,14 +227,8 @@ def eigenfunctions(h, vp, vs, rho, qsinv, periods, nlay,
                                         nlay, wave=wave, cfg=cfg)
     L = h.shape[0]
     idx = jnp.arange(L)
-    thin = (idx < nlay - 1) & (h <= 1e-3)
-    h_eff = jnp.where(thin | (idx >= nlay - 1), 0.0, h)
     kind = 1 if wave in ("love", "lov", "L") else 2
-    if cfg.flat:
-        fac = flatten_factors(h_eff, nlay, kind)
-    else:
-        ones = jnp.ones_like(h_eff)
-        fac = FlatFactors(h_flat=h_eff, vel_fac=ones, rho_fac=ones)
+    h_eff, fac = model_preamble(h, nlay, kind, cfg.flat)
 
     nmodes = cfg.nmodes
     t_l = jnp.repeat(periods, nmodes)
@@ -259,6 +253,207 @@ def eigenfunctions(h, vp, vs, rho, qsinv, periods, nlay,
         prof = profs.reshape(P, nmodes, L, 2)
         out.update(ut=prof[..., 0], szt=prof[..., 1])
     return out
+
+
+def _exp_pair_integral(coA, coB, p, q):
+    """∫_0^∞ f g ds for f = coA·(e^{-ps}, e^{-qs}), g = coB·(...).
+
+    ``coA``/``coB`` are length-2 coefficient vectors on the decaying
+    exponentials exp(-p s), exp(-q s).  Closed form of the halfspace
+    tail integrals the reference evaluates analytically
+    (``surfa.f:618-620`` Love, ``surfa.f:1303-1308`` Rayleigh)."""
+    return (coA[0] * coB[0] / (2.0 * p)
+            + (coA[0] * coB[1] + coA[1] * coB[0]) / (p + q)
+            + coA[1] * coB[1] / (2.0 * q))
+
+
+@partial(jax.jit, static_argnames=("wave", "cfg", "npanel"))
+def energy_integrals(h, vp, vs, rho, qsinv, periods, nlay,
+                     wave: str = "rayleigh",
+                     cfg: SurfConfig = SurfConfig(),
+                     npanel: int = 8, c_given=None):
+    """Eigenfunction energy integrals + the integral-path group velocity.
+
+    The reference's second group-velocity implementation: LEIGEN/REIGEN
+    accumulate Boole's-rule energy integrals over the eigenfunction
+    depth profiles and derive
+
+      Love      (``surfa.f:712-716``):
+        I0 = ∫ ρ ut²,  I1 = ∫ μ ut²,  I2 = ∫ μ ut'²
+        u  = I1 / (c I0)
+        Lagrangian  flagr = ω² I0 - k² I1 - I2        (→ 0 at a root)
+        variational k² = (ω² I0 - I2) / I1
+
+      Rayleigh  (``surfa.f:1270-1273, 1333-1338``):
+        I0 = ∫ ρ (ur² + uz²),   I1 = ∫ (λ+2μ) ur² + μ uz²
+        I2 = ∫ μ uz ur' - λ ur uz',  I3 = ∫ (λ+2μ) uz'² + μ ur'²
+        u  = (k I1 + I2) / (ω I0)
+        flagr = ω² I0 - k² I1 - 2k I2 - I3
+        variational k = (-I2 + sqrt(I2² - I1 (I3 - ω² I0))) / I1
+
+    against the implicit-differentiation group velocity of the main
+    dispersion path — two entirely independent formulations (SURVEY §7
+    step 1e).  The variational phase velocity ω/k_var is the third
+    column of the reference's ``.phv`` output (``calcul_deep.f``).
+
+    Implementation: fields at 4·npanel+1 nodes per layer via
+    ``expm(A s) @ prof`` on the `_lane_states` layer-top states
+    (composite Boole weights — the reference's 5-point rule per
+    ndiv-sublayer), plus the *analytic* halfspace tail from the
+    decaying-exponential representation (exactly as the reference,
+    which integrates e^{-2νs}-type tails in closed form).  All in the
+    attenuated + earth-flattened domain, normalised to unit surface
+    displacement — the golden convention (``surfa.f:709-711``).
+
+    Water layers are excluded from the integrals (the reference skips
+    ``b(m) <= 0`` layers in both LEIGEN and REIGEN solid loops; its
+    liquid-layer Rayleigh contribution ``surfa.f:1028-1050`` is not
+    implemented here — `_lane_states` does not support water-layer
+    Rayleigh eigenfunctions either).
+
+    Returns a dict of (P, nmodes) arrays: ``c``, ``u`` (implicit-diff),
+    ``valid``, ``I0``, ``I1``, ``I2``, ``I3`` (Rayleigh only),
+    ``flagr``, ``u_int``, ``c_var``.
+
+    ``c_given``: as in :func:`eigenfunctions_regular` — evaluate at
+    externally supplied roots (golden cross-checks near osculations).
+    When given, the dispersion solver is skipped entirely (``u`` comes
+    back as zeros): the integral path needs only the roots.
+    """
+    if c_given is not None:
+        c_all = jnp.asarray(c_given).reshape(periods.shape[0], cfg.nmodes)
+        ok_all = c_all > 0.0
+        u_all = jnp.zeros_like(c_all)
+    else:
+        c_all, u_all, ok_all = surf_forward(h, vp, vs, rho, qsinv,
+                                            periods, nlay, wave=wave,
+                                            cfg=cfg)
+    L = h.shape[0]
+    idx = jnp.arange(L)
+    kind = 1 if wave in ("love", "lov", "L") else 2
+    h_eff, fac = model_preamble(h, nlay, kind, cfg.flat)
+
+    nmodes = cfg.nmodes
+    t_l = jnp.repeat(periods, nmodes)
+    c_l = c_all.reshape(-1)
+    ok_l = ok_all.reshape(-1)
+
+    # composite-Boole node offsets (fractions of layer thickness) and
+    # weights: npanel panels x 5 nodes, endpoints shared
+    nn = 4 * npanel + 1
+    frac = jnp.arange(nn) / (nn - 1.0)
+    wts = jnp.zeros(nn)
+    boole = jnp.array([7.0, 32.0, 12.0, 32.0, 7.0]) / 22.5
+    for p_ in range(npanel):
+        wts = wts.at[4 * p_: 4 * p_ + 5].add(boole / (4.0 * npanel))
+    # wts * d = Boole weights with node spacing d/(4 npanel)
+
+    def one(t, c0, ok):
+        prof, Asys, hs = _lane_states(t, c0, ok, vp, vs, rho, fac, cfg,
+                                      nlay, kind, idx, qsinv)
+        mdl = _model_at_period(t, vp, vs, rho, qsinv, fac, cfg)
+        a_f, b_f, rho_f, d_f = mdl
+        mu = rho_f * b_f * b_f
+        lam = rho_f * a_f * a_f - 2.0 * mu
+        c_safe = jnp.where(ok, c0, b_f[0] + 0.5)
+        om = TWO_PI / t
+        k = om / c_safe
+        solid = (idx < hs) & (jnp.abs(b_f) > 1e-8)
+
+        def layer_ints(li):
+            d = jnp.where(solid[li], d_f[li], 0.0)
+            s_nodes = frac * d
+
+            def at(s):
+                w = jax.scipy.linalg.expm(Asys[li] * s) @ prof[li]
+                return w, Asys[li] @ w
+
+            w, dw = jax.vmap(at)(s_nodes)            # (nn, ncmp)
+            wl = wts * d
+            if kind == 2:
+                ur, uz = w[:, 0], w[:, 1]
+                dur, duz = dw[:, 0], dw[:, 1]
+                i0 = rho_f[li] * jnp.sum(wl * (ur * ur + uz * uz))
+                i1 = jnp.sum(wl * ((lam[li] + 2 * mu[li]) * ur * ur
+                                   + mu[li] * uz * uz))
+                i2 = jnp.sum(wl * (mu[li] * uz * dur
+                                   - lam[li] * ur * duz))
+                i3 = jnp.sum(wl * ((lam[li] + 2 * mu[li]) * duz * duz
+                                   + mu[li] * dur * dur))
+                return jnp.stack([i0, i1, i2, i3])
+            ut, dut = w[:, 0], dw[:, 0]
+            i0 = rho_f[li] * jnp.sum(wl * ut * ut)
+            i1 = mu[li] * jnp.sum(wl * ut * ut)
+            i2 = mu[li] * jnp.sum(wl * dut * dut)
+            return jnp.stack([i0, i1, i2])
+
+        ints = jnp.sum(jax.vmap(layer_ints)(idx), axis=0)
+
+        # ---- analytic halfspace tail --------------------------------
+        if kind == 2:
+            vP0, vS0 = _psv_halfspace_basis(k, om, a_f[hs], b_f[hs],
+                                            rho_f[hs])
+            V = jnp.stack([vP0, vS0], axis=1)
+            G = V.T @ V
+            coef = jnp.linalg.solve(G + 1e-30 * jnp.eye(2),
+                                    V.T @ prof[hs])
+            ga = k * jnp.sqrt(jnp.maximum(
+                1.0 - (c_safe / a_f[hs]) ** 2, 1e-12))
+            gb = k * jnp.sqrt(jnp.maximum(
+                1.0 - (c_safe / b_f[hs]) ** 2, 1e-12))
+            # per-component exponential coefficients (P, SV)
+            cur = coef * V[0]          # ur  = cur·(e^{-ga s}, e^{-gb s})
+            cuz = coef * V[1]
+            rates = jnp.stack([ga, gb])
+            cdur = -rates * cur        # d/ds of the decaying exps
+            cduz = -rates * cuz
+            E = partial(_exp_pair_integral, p=ga, q=gb)
+            i0 = rho_f[hs] * (E(cur, cur) + E(cuz, cuz))
+            i1 = ((lam[hs] + 2 * mu[hs]) * E(cur, cur)
+                  + mu[hs] * E(cuz, cuz))
+            i2 = mu[hs] * E(cuz, cdur) - lam[hs] * E(cur, cduz)
+            i3 = ((lam[hs] + 2 * mu[hs]) * E(cduz, cduz)
+                  + mu[hs] * E(cdur, cdur))
+            ints = ints + jnp.stack([i0, i1, i2, i3])
+            I0, I1, I2, I3 = ints
+            # our A&R system carries the opposite relative sign between
+            # (ur, szr) and (uz, szz) vs the reference's REIGEN fields
+            # (our row 1 is ur' = +k uz + szr/mu; surfa.f:1241 uses
+            # durdz = atr/mu - wvno*auz), so the cross-term integral I2
+            # flips sign; every quadratic integral is invariant.  Flip
+            # to the reference convention, in which u = (k I1 + I2)/
+            # (omega I0) reproduces the implicit-diff group velocity.
+            I2 = -I2
+            u_int = (k * I1 + I2) / (om * I0)
+            flagr = om * om * I0 - k * k * I1 - 2.0 * k * I2 - I3
+            disc = I2 * I2 - I1 * (I3 - om * om * I0)
+            k_var = (-I2 + jnp.sqrt(jnp.abs(disc))) / I1
+            c_var = om / k_var
+            return jnp.stack([I0, I1, I2, I3, flagr, u_int, c_var])
+
+        b_h = jnp.where(jnp.abs(b_f[hs]) > 1e-8, b_f[hs], 1.0)
+        nu = k * jnp.sqrt(jnp.maximum(1.0 - (c_safe / b_h) ** 2, 1e-12))
+        ut_h = prof[hs][0]
+        I0 = ints[0] + rho_f[hs] * ut_h * ut_h / (2.0 * nu)
+        I1 = ints[1] + mu[hs] * ut_h * ut_h / (2.0 * nu)
+        I2 = ints[2] + mu[hs] * ut_h * ut_h * nu / 2.0
+        u_int = I1 / (c_safe * I0)
+        flagr = om * om * I0 - k * k * I1 - I2
+        k_var = jnp.sqrt(jnp.abs(om * om * I0 - I2) / I1)
+        c_var = om / k_var
+        return jnp.stack([I0, I1, I2, jnp.zeros_like(I0), flagr,
+                          u_int, c_var])
+
+    outs = jax.vmap(one)(t_l, c_l, ok_l)            # (PN, 7)
+    P = periods.shape[0]
+    outs = outs.reshape(P, nmodes, 7)
+    res = {"c": c_all, "u": u_all, "valid": ok_all,
+           "I0": outs[..., 0], "I1": outs[..., 1], "I2": outs[..., 2],
+           "flagr": outs[..., 4], "u_int": outs[..., 5],
+           "c_var": outs[..., 6]}
+    if kind == 2:
+        res["I3"] = outs[..., 3]
+    return res
 
 
 R0_KM = 6371.0
@@ -309,14 +504,8 @@ def eigenfunctions_regular(h, vp, vs, rho, qsinv, periods, nlay,
         ok_all = c_all > 0.0
     L = h.shape[0]
     idx = jnp.arange(L)
-    thin = (idx < nlay - 1) & (h <= 1e-3)
-    h_eff = jnp.where(thin | (idx >= nlay - 1), 0.0, h)
     kind = 1 if wave in ("love", "lov", "L") else 2
-    if cfg.flat:
-        fac = flatten_factors(h_eff, nlay, kind)
-    else:
-        ones = jnp.ones_like(h_eff)
-        fac = FlatFactors(h_flat=h_eff, vel_fac=ones, rho_fac=ones)
+    h_eff, fac = model_preamble(h, nlay, kind, cfg.flat)
 
     z_s = jnp.arange(nz) * dz                       # spherical depths
     if cfg.flat:

@@ -31,6 +31,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 R0 = 6371.0  # Earth radius in km (flat1.f:21)
+H_MIN = 1e-3  # thin-layer threshold, models.py:20 of the reference
 
 
 class FlatFactors(NamedTuple):
@@ -88,3 +89,24 @@ def flatten_factors(h: jnp.ndarray, nlay: jnp.ndarray, kind: int) -> FlatFactors
     h_flat = jnp.where(is_finite_layer & ~thin, h_flat_fin, 0.0)
 
     return FlatFactors(h_flat=h_flat, vel_fac=vel_fac, rho_fac=rho_fac)
+
+
+def effective_thickness(h: jnp.ndarray, nlay) -> jnp.ndarray:
+    """Thin layers and the halfspace/pads zeroed out — the ``h > 1e-3``
+    filter applied before calling fast_surf (models.py:20), as exact
+    identity rows instead of compaction."""
+    idx = jnp.arange(h.shape[0])
+    thin = (idx < nlay - 1) & (h <= H_MIN)
+    return jnp.where(thin | (idx >= nlay - 1), 0.0, h)
+
+
+def model_preamble(h: jnp.ndarray, nlay, kind: int, flat: bool):
+    """(h_eff, FlatFactors): the shared model preamble of every
+    dispersion/kernel/eigenfunction entry point — thin-layer zeroing
+    plus flattening factors (or identity factors when ``flat`` is
+    False)."""
+    h_eff = effective_thickness(h, nlay)
+    if flat:
+        return h_eff, flatten_factors(h_eff, nlay, kind)
+    ones = jnp.ones_like(h_eff)
+    return h_eff, FlatFactors(h_flat=h_eff, vel_fac=ones, rho_fac=ones)

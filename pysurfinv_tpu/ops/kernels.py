@@ -85,7 +85,7 @@ def sensitivity_kernels(h, vp, vs, rho, qsinv, periods, nlay,
     measures by finite differences — including the chain through the
     physical-dispersion rescale and the earth-flattening transform.
     """
-    from pysurfinv_tpu.ops.dispersion import H_MIN
+    from pysurfinv_tpu.ops.flatten import effective_thickness
 
     nmodes = cfg.nmodes
     c_all, u_all, ok_all = surf_forward(h, vp, vs, rho, qsinv, periods, nlay,
@@ -100,8 +100,7 @@ def sensitivity_kernels(h, vp, vs, rho, qsinv, periods, nlay,
     F = _secular_fn(wave)
     L = h.shape[0]
     idx = jnp.arange(L)
-    thin = (idx < nlay - 1) & (h <= H_MIN)
-    h_eff = jnp.where(thin | (idx >= nlay - 1), 0.0, h)
+    h_eff = effective_thickness(h, nlay)
 
     def per_period(t, c0, ok):
         mdl0 = _flat_model(t, vp, vs, rho, h_eff, qsinv, nlay, kind, cfg)
