@@ -218,8 +218,13 @@ def _propose_batched(keys, thetas, spec_b, ctx_b, isgood, cfg: ChainConfig,
 
         return lax.while_loop(cond, body, state)
 
-    # stage pyramid: N -> N/r -> N/r^2 -> ... (>= min_stage)
+    # stage pyramid: N -> N/r -> N/r^2 -> ... (>= min_stage).  min_stage
+    # bounds per-stage overhead (argsort + gathers + while_loop cond
+    # rounds): r and min_stage trade wasted isgood evaluations on
+    # finished lanes against fixed per-stage cost — re-measure on-chip
+    # when the isgood graph's cost changes (env knobs for ab_grid.py).
     ratio = max(_env_int("PYSURFINV_PROPOSE_RATIO", cfg.propose_ratio), 2)
+    min_stage = _env_int("PYSURFINV_PROPOSE_MINSTAGE", min_stage)
     sizes = []
     m = N // ratio
     while m >= min_stage:

@@ -87,7 +87,7 @@ class Point:
                     if not prior_ok(current):
                         current = current.perturb(prior_ok)
                 else:      # later segments: uniform re-draw
-                    current = self.initMod.reset()
+                    current = self.initMod.reset(prior_ok)
                     if verbose is True:
                         print(f"{step + 1}/{runN} Time cost:"
                               f"{time.time() - t_start:.2f} ")

@@ -84,8 +84,18 @@ VARIANTS = {
     # the pre-round-2 full isgood build (vs-only fast path disabled)
     "isgoodfull": ({"PYSURFINV_ISGOOD_FULL": "1"}, 64, 6000, 200),
     # proposal-compaction pyramid density (shipped default r=2; r=4 is
-    # the round-1 schedule: measured 44.3-44.7k vs r=2's 49.6k)
+    # the round-1 schedule: measured 44.3-44.7k vs r=2's 49.6k).  NOTE:
+    # those numbers predate the gather-free pair-matrix priors (isgood
+    # 3.8x faster), which shifts the eval-cost/stage-overhead balance —
+    # re-measure r and min_stage together.
     "ratio4":   ({"PYSURFINV_PROPOSE_RATIO": "4"}, 64, 6000, 200),
+    "ratio3":   ({"PYSURFINV_PROPOSE_RATIO": "3"}, 64, 6000, 200),
+    "minstage128": ({"PYSURFINV_PROPOSE_MINSTAGE": "128"}, 64, 6000, 200),
+    "minstage256": ({"PYSURFINV_PROPOSE_MINSTAGE": "256"}, 64, 6000, 200),
+    "r4m128": ({"PYSURFINV_PROPOSE_RATIO": "4",
+                "PYSURFINV_PROPOSE_MINSTAGE": "128"}, 64, 6000, 200),
+    # wider rounds at full width (W=2): re-test post-prior-speedup
+    "flat3840": ({"PYSURFINV_PROPOSE_FLAT": "3840"}, 64, 6000, 200),
     # full README row shapes (24,000 samples)
     "full64":   ({}, 64, 24000, 800),
     "full256":  ({}, 256, 24000, 800),
@@ -111,6 +121,7 @@ MCMC_KEYS = [k for k in ("PYSURFINV_MCMC_NSCAN", "PYSURFINV_MCMC_BACKOFF",
                          "PYSURFINV_ISGOOD_FULL",
                          "PYSURFINV_PROPOSE_RATIO",
                          "PYSURFINV_PROPOSE_FLAT",
+                         "PYSURFINV_PROPOSE_MINSTAGE",
                          "PYSURFINV_FETCH_STREAMS",
                          "PYSURFINV_STREAM_NPZ")]
 
