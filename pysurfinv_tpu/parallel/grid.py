@@ -185,7 +185,13 @@ def _batched_programs(cm, pcls, cfg, wave, scfg, mesh):
     # the program is purely lane-parallel (no cross-device
     # communication inside).
     n_dev = mesh.devices.size
-    pp = P("points")
+    # Shard the flat lane axis over EVERY mesh axis: a 1-D ("points",)
+    # mesh and a 2-D ("dcn", "points") multi-slice mesh (mesh.py
+    # multislice_mesh) compile the identical per-shard program — the
+    # sampler has no cross-lane collectives, so slices never talk over
+    # DCN in the hot loop and scale-out is linear by construction.
+    axes = tuple(mesh.axis_names)
+    pp = P(axes)
     if n_dev > 1:
         init_all = jax.shard_map(
             init_fn, mesh=mesh, in_specs=(pp,) * 5,
@@ -204,7 +210,7 @@ def _batched_programs(cm, pcls, cfg, wave, scfg, mesh):
                 f = jax.shard_map(
                     f, mesh=mesh,
                     in_specs=(pp, pp, pp, pp, P()),
-                    out_specs=(pp, P(None, "points")),
+                    out_specs=(pp, P(None, axes)),
                     check_vma=False)
             seg_cache[n] = jax.jit(f)
         return seg_cache[n]
@@ -399,7 +405,7 @@ def invert_grid(points, lonlats, outdir="mcdata", runN=24000, chainL=800,
 
     mesh = mesh or points_mesh()
     n_dev = mesh.devices.size
-    shard = NamedSharding(mesh, P("points"))
+    shard = NamedSharding(mesh, P(tuple(mesh.axis_names)))
 
     ctx = (psi, periods, obs_c, uncer, obs_m)   # per point, unpadded
     put = lambda x: jax.device_put(x, shard)  # noqa: E731

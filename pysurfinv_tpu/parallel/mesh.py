@@ -25,6 +25,29 @@ def points_mesh(n_devices=None, devices=None):
     return Mesh(devices, axis_names=("points",))
 
 
+def multislice_mesh(n_slices, per_slice=None, devices=None):
+    """2-D ("dcn", "points") mesh for multi-slice / multi-host scale-out.
+
+    Outer axis = slices (DCN-connected pods), inner axis = the devices
+    of each slice (ICI).  ``invert_grid`` shards its flat lane axis over
+    BOTH axes, and — because grid points and chains are independent —
+    the hot loop contains no collectives at all: slices never
+    communicate over DCN, so scale-out is linear by construction and
+    the tracks are bitwise identical to a flat single-slice mesh
+    (tests/test_parallel_grid.py::test_multislice_mesh_identical).
+
+    Device order matters only for *placement*, not results: pass
+    ``devices`` grouped slice-major (jax's default ``jax.devices()``
+    order already groups by process/slice on multi-host TPU).
+    """
+    devices = np.asarray(devices if devices is not None
+                         else jax.devices())
+    per_slice = per_slice or len(devices) // n_slices
+    n = n_slices * per_slice
+    return Mesh(devices[:n].reshape(n_slices, per_slice),
+                axis_names=("dcn", "points"))
+
+
 def shard_points(mesh, tree):
     """Place a pytree of arrays with leading point axis onto the mesh."""
     sharding = NamedSharding(mesh, P("points"))

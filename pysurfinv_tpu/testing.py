@@ -31,9 +31,12 @@ def force_cpu(n_devices: int = 8, x64: bool = True):
     it was already initialized on another platform).
     """
     flag = f"--xla_force_host_platform_device_count={n_devices}"
-    xla_flags = os.environ.get("XLA_FLAGS", "")
-    if "--xla_force_host_platform_device_count" not in xla_flags:
-        os.environ["XLA_FLAGS"] = (xla_flags + " " + flag).strip()
+    # Replace (not just add) any inherited device-count flag: a
+    # subprocess spawned from a test session inherits XLA_FLAGS with
+    # the parent's count, which must not win over the requested one.
+    kept = [f for f in os.environ.get("XLA_FLAGS", "").split()
+            if not f.startswith("--xla_force_host_platform_device_count")]
+    os.environ["XLA_FLAGS"] = " ".join(kept + [flag])
     # Best effort — harmless where ignored, sufficient where respected.
     os.environ["JAX_PLATFORMS"] = "cpu"
 

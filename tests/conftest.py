@@ -46,6 +46,13 @@ else:
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# NOTE (VERDICT r2 weak #4, resolved): full-suite runs appeared to die
+# "before printing the summary line".  The real cause was pytest.ini's
+# `addopts = -q` combining with the habitual `pytest -q` into -qq
+# ("really quiet"), which suppresses the final "N passed" line BY
+# DESIGN — the process exited rc=0 every time.  addopts no longer
+# carries -q; see pytest.ini.
+
 GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "test1.npz")
 
 
