@@ -119,6 +119,27 @@ def mcmc_solver_cfg():
     bracket still reaches q99 8.5e-5; +1 iteration (nbisect=12)
     measured the same throughput — not worth the launch.
 
+    newton_sep=3 (round 3): on the Pallas path the refinement runs as
+    3 separated safeguarded-Newton gradient launches instead of 11
+    Illinois launches (the XLA path ignores it and keeps Illinois —
+    it is the oracle/CPU path).  Grid-path ladders, same process,
+    64 pts x 6,000, base brackets in parentheses: 115.3k (89.4/93.1k)
+    and 104.0k (95.3/91.7k) solves/s — +11-24%, far outside the +-4%
+    within-process drift band; newton_sep=2 is faster still but
+    CORRUPTS chain statistics (acceptance delta -1.3e-2 vs newton3's
+    +8.2e-4 — scripts/compare_tracks.py); newton_sep=4/5 give back the
+    whole win (each extra gradient launch ~ 2.2x a plain probe row).
+    Root accuracy vs a 40-iteration oracle under the REAL warm-started
+    pseudo-MCMC drive (2048 lanes x 18 periods x 4 steps, on-chip f32):
+    newton3 |dc| med 4.8e-7 (20x better than Illinois-11's 1.05e-5),
+    q99 8.2e-4, max 5.8e-3; ok-mask exact.  The q99/max tail sits in a
+    handful of hard lanes where Illinois-11 also degrades (its max
+    1.2e-3) — ~12x below observational sigma (>= 0.01 km/s), ~4.6x
+    inside the 0.1% parity budget, and the posterior-parity suite
+    (tests/test_posterior_parity.py, docs/POSTERIOR_PARITY.md) bounds
+    the end-to-end statistical effect.  Interpret-mode accuracy gate:
+    tests/test_warm_roots.py::test_mcmc_newton_refinement_accuracy.
+
     The PYSURFINV_MCMC_* env knobs exist for on-chip A/B runs only;
     the committed defaults are the validated configuration.
     """
@@ -131,7 +152,7 @@ def mcmc_solver_cfg():
                       coarse=int(e("PYSURFINV_MCMC_COARSE", 8)),
                       fuse_illinois=e("PYSURFINV_MCMC_FUSE_ILL", "0") == "1",
                       nnewton=int(e("PYSURFINV_MCMC_NNEWTON", 0)),
-                      newton_sep=int(e("PYSURFINV_MCMC_NEWTON_SEP", 0)),
+                      newton_sep=int(e("PYSURFINV_MCMC_NEWTON_SEP", 3)),
                       coarse_first=8)
 
 

@@ -49,6 +49,8 @@ VARIANTS = {
     # pair with PYSURFINV_PALLAS_GRAD_UNROLL=8, read at import time)
     "newtonsep2": ({"PYSURFINV_MCMC_NEWTON_SEP": "2"}, 64, 6000, 200),
     "newtonsep3": ({"PYSURFINV_MCMC_NEWTON_SEP": "3"}, 64, 6000, 200),
+    "newtonsep4": ({"PYSURFINV_MCMC_NEWTON_SEP": "4"}, 64, 6000, 200),
+    "newtonsep5": ({"PYSURFINV_MCMC_NEWTON_SEP": "5"}, 64, 6000, 200),
     "nscan24":  ({"PYSURFINV_MCMC_NSCAN": "24",
                   "PYSURFINV_MCMC_BACKOFF": "8"}, 64, 6000, 200),
     # halve the warm-sweep probe rows (step 4*dc over the same window);
@@ -96,6 +98,11 @@ VARIANTS = {
                 "PYSURFINV_PROPOSE_MINSTAGE": "128"}, 64, 6000, 200),
     # wider rounds at full width (W=2): re-test post-prior-speedup
     "flat3840": ({"PYSURFINV_PROPOSE_FLAT": "3840"}, 64, 6000, 200),
+    "r3flat":   ({"PYSURFINV_PROPOSE_RATIO": "3",
+                  "PYSURFINV_PROPOSE_FLAT": "3840"}, 64, 6000, 200),
+    "r3m16":    ({"PYSURFINV_PROPOSE_RATIO": "3",
+                  "PYSURFINV_PROPOSE_MINSTAGE": "16"}, 64, 6000, 200),
+
     # full README row shapes (24,000 samples)
     "full64":   ({}, 64, 24000, 800),
     "full256":  ({}, 256, 24000, 800),

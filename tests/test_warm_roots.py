@@ -130,3 +130,61 @@ def test_mcmc_solver_cfg_accuracy_vs_oracle():
     q99 = np.quantile(d, 0.99)
     assert q99 <= 2e-4, f"q99 |dc| {q99:.2e} exceeds the parity budget"
     assert d.max() <= 2e-3, f"max |dc| {d.max():.2e}"
+
+
+@pytest.mark.slow
+def test_mcmc_newton_refinement_accuracy():
+    """Interpret-mode gate for the shipped newton_sep refinement.
+
+    ``mcmc_solver_cfg()`` ships ``newton_sep=3`` (round 3: +11-24%
+    grid throughput), which only the PALLAS path honours — the XLA
+    path (and hence the f64 gate above) silently keeps Illinois.  This
+    leg drives the actual Newton refinement through the Pallas
+    interpreter on a small warm-started batch and pins its root error
+    against a wide-window oracle.  Budget from the on-chip measurement
+    (2048 lanes x 18 periods x 4 steps, f32: med 4.8e-7, q99 8.2e-4,
+    max 5.8e-3 — see mcmc_solver_cfg's docstring): q99 <= 1.5e-3,
+    max <= 8e-3, ok-mask equality.  Interpret mode runs f64 here, so a
+    breach means the ALGORITHM regressed, not the dtype.
+    """
+    import jax.numpy as jnp
+
+    from bench import build_batch
+    from pysurfinv_tpu.ops.dispersion import SurfConfig, surf_forward_batch
+    from pysurfinv_tpu.parallel.grid import mcmc_solver_cfg
+
+    B, K = 8, 3
+    rng = np.random.default_rng(5)
+    batch, nlay = build_batch(B, rng)
+    periods = jnp.asarray(np.array([10, 14, 18, 24, 30, 40, 60, 80],
+                                   float))
+    NL = jnp.full((B,), nlay, jnp.int32)
+    newt = mcmc_solver_cfg()._replace(backend="pallas_interpret")
+    assert newt.newton_sep >= 3  # the shipped config under test
+    oracle = SurfConfig(nmodes=1, compute_group=False, nbisect=40)
+
+    def solve(b, cfg, warm=None):
+        c, _, ok = surf_forward_batch(
+            jnp.asarray(b[:, 0]), jnp.asarray(b[:, 1]),
+            jnp.asarray(b[:, 2]), jnp.asarray(b[:, 3]),
+            jnp.asarray(b[:, 4]), periods, NL, wave="rayleigh",
+            cfg=cfg, c_warm=warm)
+        return np.asarray(c)[:, :, 0], np.asarray(ok)[:, :, 0]
+
+    cur = batch
+    warm = jnp.zeros((B, len(periods)))
+    ds = []
+    for _ in range(K):
+        cn, okn = solve(cur, newt, warm=warm)
+        co, oko = solve(cur, oracle)
+        assert (okn == oko).all() and okn.all()
+        ds.append(np.abs(cn - co).ravel())
+        warm = jnp.asarray(cn)
+        cur = cur.copy()
+        jit = 1.0 + 0.004 * rng.standard_normal((B, cur.shape[2]))
+        live = cur[:, 0] > 0
+        cur[:, 2] *= np.where(live, jit, 1.0)
+        cur[:, 1] *= np.where(live, jit, 1.0)
+    d = np.concatenate(ds)
+    assert np.quantile(d, 0.99) <= 1.5e-3, d.max()
+    assert d.max() <= 8e-3, d.max()
