@@ -224,7 +224,10 @@ def _propose_batched(keys, thetas, spec_b, ctx_b, isgood, cfg: ChainConfig,
     # finished lanes against fixed per-stage cost — re-measure on-chip
     # when the isgood graph's cost changes (env knobs for ab_grid.py).
     ratio = max(_env_int("PYSURFINV_PROPOSE_RATIO", cfg.propose_ratio), 2)
-    min_stage = _env_int("PYSURFINV_PROPOSE_MINSTAGE", min_stage)
+    # clamp >= 1: min_stage <= 0 would spin the pyramid-size loop forever
+    # (m reaches 0 and `0 >= min_stage` stays true while m //= ratio
+    # keeps m at 0)
+    min_stage = max(_env_int("PYSURFINV_PROPOSE_MINSTAGE", min_stage), 1)
     sizes = []
     m = N // ratio
     while m >= min_stage:

@@ -72,6 +72,16 @@ class Point:
         accept flag in column 2 — the npz chain format.  The Metropolis
         rule, restart policy, and RNG call order follow the reference
         (``point.py:32-89``) so archived chains reproduce.
+
+        ``isgood`` (extension; the reference MCinv has none): inject a
+        prior predicate used for perturb AND segment-restart resets.
+        With the default (None) every call is reference-exact
+        (``reset()`` uses the model's own ``isgood()``, models.py:206).
+        With an injected prior the reset path consults the injected
+        predicate too, so archived reference chains reproduce ONLY if
+        the prior is bit-compatible with ``model.isgood()`` (the parity
+        harness's ``fast_host_prior`` is — tests/test_priors.py);
+        otherwise the RNG stream diverges at the first restart.
         """
         prior_ok = isgood if isgood is not None else (lambda m: m.isgood())
         random.seed(seed)

@@ -155,15 +155,28 @@ def jnp_no_local_max(v, mask):
     return ~jnp.any(is_max)
 
 
-def jnp_cwt_oscillation(v, z, mask, limit=0.3, max_width=32):
+def jnp_cwt_oscillation(v, z, mask, limit=0.3, max_width=None):
     """Device Ricker-CWT oscillation prior with a fixed kernel length.
 
-    The kernel length is static (10 * max_width, clipped); the width
-    parameter itself may be traced — kernel *values* depend on it.
+    The kernel length is static; the width parameter itself may be
+    traced — kernel *values* depend on it.  ``max_width=None`` (the
+    default) uses the full signal length ``n`` as the kernel length,
+    which is exactly the host convention whenever ``10*width >= n``
+    (host: ``N = min(10*int(width), len(data))``, priors.py:34) — i.e.
+    for any mantle layer thinner than ~300 km, since
+    ``width = 30//dz`` and ``n*dz = H``.  This removes the old static
+    ``max_width=32`` cap that silently truncated the kernel for fine
+    grids with ``n > 320`` (VERDICT r3 #7).  For the remaining
+    ``10*width < n`` regime (H > ~300 km) the zeroed-tail emulation is
+    bit-exact iff ``n`` is even (the host kernel length ``10*width``
+    is always even, so its taps sit on half-integer offsets; an odd
+    ``n`` shifts the tap grid by 0.5).
     """
     import jax.numpy as jnp
 
     n = v.shape[0]
+    if max_width is None:
+        max_width = -(-n // 10)  # ceil: 10*max_width >= n  ->  N = n
     nz = jnp.maximum(jnp.sum(mask), 2)
     dz = (z[1] - z[0])
     width = jnp.floor(30.0 / dz)

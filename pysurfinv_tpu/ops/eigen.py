@@ -67,6 +67,34 @@ def _sh_system(k, om, b, rho):
                       jnp.stack([k * k * mu - om * om * rho, z])])
 
 
+def _fluid_system4(k, om, a, rho):
+    """Acoustic (liquid) layer embedded in the 4-component P-SV state.
+
+    In a fluid the P-SV system degenerates: sigma_zr = 0 and, from the
+    mu -> 0 limit of the sigma_zr' row of `_psv_system`, the horizontal
+    displacement is slaved to the normal stress, ur = k szz / (rho
+    om^2).  The remaining dynamics close on (uz, szz):
+
+        uz'  = -gamma^2 / (rho om^2) * szz,   gamma^2 = k^2 - om^2/a^2
+        szz' = -rho om^2 * uz
+
+    (the displacement-potential formulation the reference evaluates in
+    closed cosh/sinh form, ``surfa.f:876-911``).  The embedding keeps
+    ur consistent along depth (ur' = k szz'/(rho om^2) = -k uz) and
+    szr identically zero, so a state vector starting on the fluid
+    constraint stays on it — letting the shared expm-sampling /
+    Boole-integral machinery treat water layers like any other layer.
+    """
+    ro2 = rho * om * om
+    gam2 = k * k - (om / a) ** 2
+    z = jnp.zeros_like(k)
+    row_ur = jnp.stack([z, -k, z, z])
+    row_uz = jnp.stack([z, z, z, -gam2 / ro2])
+    row_szr = jnp.stack([z, z, z, z])
+    row_szz = jnp.stack([z, -ro2, z, z])
+    return jnp.stack([row_ur, row_uz, row_szr, row_szz])
+
+
 def _psv_halfspace_basis(k, om, a, b, rho):
     """Decaying-downward P and SV displacement-stress eigenvectors.
 
@@ -125,18 +153,51 @@ def _lane_states(t, c0, ok, vp, vs, rho, fac, cfg, nlay, kind, idx,
     L = d_f.shape[0]
     active = idx < (mm - 1)            # layers above the halfspace
     hs = mm - 1
+    water = jnp.abs(b_f) <= 1e-8
+    # leading (surface) water stack — the only place liquid is physical
+    # (the reference's secular/eigen liquid branch is surface-only,
+    # surfa.f:216-251, 876-911)
+    wtop = jnp.cumprod(water.astype(jnp.int32)).astype(bool)
 
     if kind == 2:
-        Asys = jax.vmap(lambda aa, bb, rr: _psv_system(k, om, aa, bb, rr)
-                        )(a_f, b_f, rho_f)          # (L, 4, 4)
+        b_solid = jnp.where(water, 1.0, b_f)   # keep 1/mu finite
+        Apsv = jax.vmap(lambda aa, bb, rr: _psv_system(k, om, aa, bb, rr)
+                        )(a_f, b_solid, rho_f)      # (L, 4, 4)
+        Awat = jax.vmap(lambda aa, rr: _fluid_system4(k, om, aa, rr)
+                        )(a_f, rho_f)
+        Asys = jnp.where(water[:, None, None], Awat, Apsv)
         # upward propagator over layer l: expm(-A d); identity when
-        # the layer is below the halfspace or zero-thickness
+        # the layer is water, below the halfspace, or zero-thickness —
+        # water layers are excluded from the solid propagation exactly
+        # as the reference skips b <= 0 layers (surfa.f:1000) and
+        # instead couple through the impedance condition below
         mats = jax.vmap(
             lambda Al, dl, act: jax.scipy.linalg.expm(
                 -Al * jnp.where(act, dl, 0.0)))(
-            Asys, d_f, active)                      # (L, 4, 4)
+            Asys, d_f, active & ~water)             # (L, 4, 4)
         vP0, vS0 = _psv_halfspace_basis(
             k, om, a_f[hs], b_f[hs], rho_f[hs])
+
+        # ---- water column: downward acoustic pass -------------------
+        # free surface: szz = 0  =>  state (ur, uz, szr, szz) =
+        # (0, 1, 0, 0); propagate down through the leading water stack
+        # (identity elsewhere).  The carry after the scan is the state
+        # at the water/solid interface; the per-layer outputs are the
+        # states at each water layer's top.  tzz = szz/uz at the
+        # interface is the reference's water impedance (surfa.f:910:
+        # tzz = -rho om^2 tan-form for one layer; here generically via
+        # expm so multi-layer water columns work too).
+        fmats = jax.vmap(
+            lambda Al, dl, w: jax.scipy.linalg.expm(
+                Al * jnp.where(w, dl, 0.0)))(Asys, d_f, wtop)
+        f0 = jnp.zeros((4,)).at[1].set(1.0)
+
+        def fbody(f, M):
+            return M @ f, f                          # output: layer-top
+
+        f_int, ftops = jax.lax.scan(fbody, f0, fmats)
+        uz_int = jnp.where(jnp.abs(f_int[1]) > 1e-30, f_int[1], 1.0)
+        tzz = jnp.where(jnp.any(wtop), f_int[3] / uz_int, 0.0)
 
         # Stabilised two-solution shooting: propagating the raw (P, SV)
         # pair upward lets both columns align with the fastest-growing
@@ -158,10 +219,14 @@ def _lane_states(t, c0, ok, vp, vs, rho, fac, cfg, nlay, kind, idx,
 
         _, (Qs, Rs) = jax.lax.scan(body, Y0, mats, reverse=True)
 
-        # free-surface traction null vector in the surface basis:
-        # rows (szr, szz) of Q_0; adjugate row with the larger norm
+        # boundary condition at the top of the SOLID stack (water
+        # propagators are identity, so Qs[0] IS the interface state
+        # basis): szr = 0 and szz = tzz * uz.  With no water tzz = 0
+        # and this is the free-surface traction condition.  Null vector
+        # via the adjugate row with the larger norm.
         M11, M12 = Qs[0, 2, 0], Qs[0, 2, 1]
-        M21, M22 = Qs[0, 3, 0], Qs[0, 3, 1]
+        M21 = Qs[0, 3, 0] - tzz * Qs[0, 1, 0]
+        M22 = Qs[0, 3, 1] - tzz * Qs[0, 1, 1]
         a1 = jnp.stack([M22, -M21])
         a2 = jnp.stack([-M12, M11])
         use1 = jnp.sum(a1 * a1) >= jnp.sum(a2 * a2)
@@ -176,16 +241,32 @@ def _lane_states(t, c0, ok, vp, vs, rho, fac, cfg, nlay, kind, idx,
 
         _, cs = jax.lax.scan(down, q0, Rs)           # cs[l] = c_l
         prof = jnp.einsum("lij,lj->li", Qs, cs)      # (L, 4)
+        # normalise to unit uz at the top of the solid stack (= the
+        # free surface for solid models, the water/solid interface for
+        # ocean models — the reference's bb divisor, surfa.f:1060-1066,
+        # whose water branch copies the interface row to the top)
         norm = prof[0, 1]
         norm = jnp.where(jnp.abs(norm) > 0, norm, 1.0)
         prof = prof / norm
+        # physical acoustic fields at the leading water layer tops,
+        # rescaled to the same normalisation (uz(interface) = 1); the
+        # slaved ur = k szz/(rho om^2) is recomputed per layer top with
+        # that layer's rho (ur is discontinuous across fluid interfaces)
+        ftops = ftops / uz_int
+        ur_w = k * ftops[:, 3] / (rho_f * om * om)
+        ftops = ftops.at[:, 0].set(ur_w)
+        prof = jnp.where(wtop[:, None], ftops, prof)
         gate = (idx <= hs)[:, None] & ok
         prof = jnp.where(gate, prof, 0.0)
         return prof, Asys, hs  # columns: ur, uz, szr, szz at layer tops
 
+    # SH waves do not propagate in a fluid: water layers are excluded
+    # from the propagation (identity; the reference's jj=2 /
+    # b(m)<=0 skips) and their field rows are zero.  b -> 1 keeps the
+    # 1/mu entry finite; those matrices only ever multiply zero states.
+    b_sh = jnp.where(water, 1.0, b_f)
     Asys = jax.vmap(lambda bb, rr: _sh_system(k, om, bb, rr)
-                    )(b_f, rho_f)
-    water = jnp.abs(b_f) <= 1e-8
+                    )(b_sh, rho_f)
     act = active & ~water
     mats = jax.vmap(
         lambda Al, dl, a_: jax.scipy.linalg.expm(
@@ -202,7 +283,7 @@ def _lane_states(t, c0, ok, vp, vs, rho, fac, cfg, nlay, kind, idx,
     norm = states[0, 0]
     norm = jnp.where(jnp.abs(norm) > 0, norm, 1.0)
     prof = states / norm
-    gate = (idx <= hs)[:, None] & ok
+    gate = (idx <= hs)[:, None] & ok & ~wtop[:, None]
     return jnp.where(gate, prof, 0.0), Asys, hs       # ut, szt
 
 
@@ -305,15 +386,18 @@ def energy_integrals(h, vp, vs, rho, qsinv, periods, nlay,
     attenuated + earth-flattened domain, normalised to unit surface
     displacement — the golden convention (``surfa.f:709-711``).
 
-    Water layers are excluded from the integrals (the reference skips
-    ``b(m) <= 0`` layers in both LEIGEN and REIGEN solid loops; its
-    liquid-layer Rayleigh contribution ``surfa.f:1028-1050`` is not
-    implemented here — `_lane_states` does not support water-layer
-    Rayleigh eigenfunctions either).
+    A surface water column contributes to the Rayleigh integrals
+    through the acoustic fields of `_lane_states` (mu = 0 reduces the
+    generic P-SV integrands to the liquid forms the reference
+    evaluates in closed trig form, ``surfa.f:1028-1050``); the
+    water-only partials are returned as ``I0_wat``..``I3_wat`` (zero
+    for solid models) so that closed form can be checked verbatim.
+    Love waves carry no fluid motion — water layers stay excluded
+    there, as in LEIGEN.
 
     Returns a dict of (P, nmodes) arrays: ``c``, ``u`` (implicit-diff),
-    ``valid``, ``I0``, ``I1``, ``I2``, ``I3`` (Rayleigh only),
-    ``flagr``, ``u_int``, ``c_var``.
+    ``valid``, ``I0``, ``I1``, ``I2``, ``I3`` + ``I*_wat`` (Rayleigh
+    only), ``flagr``, ``u_int``, ``c_var``.
 
     ``c_given``: as in :func:`eigenfunctions_regular` — evaluate at
     externally supplied roots (golden cross-checks near osculations).
@@ -358,10 +442,17 @@ def energy_integrals(h, vp, vs, rho, qsinv, periods, nlay,
         c_safe = jnp.where(ok, c0, b_f[0] + 0.5)
         om = TWO_PI / t
         k = om / c_safe
-        solid = (idx < hs) & (jnp.abs(b_f) > 1e-8)
+        water = jnp.abs(b_f) <= 1e-8
+        wtop = jnp.cumprod(water.astype(jnp.int32)).astype(bool)
+        solid = (idx < hs) & ~water
+        # Rayleigh carries energy in the surface water column too
+        # (`_lane_states` provides the acoustic fields + embedded fluid
+        # system there, mu = 0 reduces the integrands to the liquid
+        # forms of surfa.f:1028-1050); Love has no fluid motion.
+        contrib = (solid | wtop) if kind == 2 else solid
 
         def layer_ints(li):
-            d = jnp.where(solid[li], d_f[li], 0.0)
+            d = jnp.where(contrib[li], d_f[li], 0.0)
             s_nodes = frac * d
 
             def at(s):
@@ -387,7 +478,10 @@ def energy_integrals(h, vp, vs, rho, qsinv, periods, nlay,
             i2 = mu[li] * jnp.sum(wl * dut * dut)
             return jnp.stack([i0, i1, i2])
 
-        ints = jnp.sum(jax.vmap(layer_ints)(idx), axis=0)
+        per_layer = jax.vmap(layer_ints)(idx)        # (L, 3|4)
+        ints = jnp.sum(per_layer, axis=0)
+        ints_wat = jnp.sum(jnp.where(wtop[:, None], per_layer, 0.0),
+                           axis=0)
 
         # ---- analytic halfspace tail --------------------------------
         if kind == 2:
@@ -429,7 +523,12 @@ def energy_integrals(h, vp, vs, rho, qsinv, periods, nlay,
             disc = I2 * I2 - I1 * (I3 - om * om * I0)
             k_var = (-I2 + jnp.sqrt(jnp.abs(disc))) / I1
             c_var = om / k_var
-            return jnp.stack([I0, I1, I2, I3, flagr, u_int, c_var])
+            # water-column partials in the reference convention (same
+            # I2 flip) — the verbatim check against surfa.f:1028-1050's
+            # closed trig forms lives in tests/test_eigen_water.py
+            return jnp.stack([I0, I1, I2, I3, flagr, u_int, c_var,
+                              ints_wat[0], ints_wat[1], -ints_wat[2],
+                              ints_wat[3]])
 
         b_h = jnp.where(jnp.abs(b_f[hs]) > 1e-8, b_f[hs], 1.0)
         nu = k * jnp.sqrt(jnp.maximum(1.0 - (c_safe / b_h) ** 2, 1e-12))
@@ -441,18 +540,21 @@ def energy_integrals(h, vp, vs, rho, qsinv, periods, nlay,
         flagr = om * om * I0 - k * k * I1 - I2
         k_var = jnp.sqrt(jnp.abs(om * om * I0 - I2) / I1)
         c_var = om / k_var
-        return jnp.stack([I0, I1, I2, jnp.zeros_like(I0), flagr,
-                          u_int, c_var])
+        zero = jnp.zeros_like(I0)
+        return jnp.stack([I0, I1, I2, zero, flagr, u_int, c_var,
+                          zero, zero, zero, zero])
 
-    outs = jax.vmap(one)(t_l, c_l, ok_l)            # (PN, 7)
+    outs = jax.vmap(one)(t_l, c_l, ok_l)            # (PN, 11)
     P = periods.shape[0]
-    outs = outs.reshape(P, nmodes, 7)
+    outs = outs.reshape(P, nmodes, 11)
     res = {"c": c_all, "u": u_all, "valid": ok_all,
            "I0": outs[..., 0], "I1": outs[..., 1], "I2": outs[..., 2],
            "flagr": outs[..., 4], "u_int": outs[..., 5],
            "c_var": outs[..., 6]}
     if kind == 2:
         res["I3"] = outs[..., 3]
+        res.update(I0_wat=outs[..., 7], I1_wat=outs[..., 8],
+                   I2_wat=outs[..., 9], I3_wat=outs[..., 10])
     return res
 
 

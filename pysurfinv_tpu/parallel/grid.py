@@ -135,10 +135,15 @@ def mcmc_solver_cfg():
     q99 8.2e-4, max 5.8e-3; ok-mask exact.  The q99/max tail sits in a
     handful of hard lanes where Illinois-11 also degrades (its max
     1.2e-3) — ~12x below observational sigma (>= 0.01 km/s), ~4.6x
-    inside the 0.1% parity budget, and the posterior-parity suite
-    (tests/test_posterior_parity.py, docs/POSTERIOR_PARITY.md) bounds
-    the end-to-end statistical effect.  Interpret-mode accuracy gate:
-    tests/test_warm_roots.py::test_mcmc_newton_refinement_accuracy.
+    inside the 0.1% parity budget.  Statistical evidence: the COMMITTED
+    parity suite (tests/test_posterior_parity.py) runs on the CPU/XLA
+    backend, which ignores newton_sep and keeps Illinois — it validates
+    the sampler, not the Pallas Newton path; the Newton path itself is
+    covered by the interpret-mode root-accuracy gate
+    (tests/test_warm_roots.py::test_mcmc_newton_refinement_accuracy)
+    and by on-chip runs of scripts/posterior_parity.py +
+    scripts/compare_tracks.py, with verdicts recorded in
+    docs/POSTERIOR_PARITY.md.
 
     The PYSURFINV_MCMC_* env knobs exist for on-chip A/B runs only;
     the committed defaults are the validated configuration.
