@@ -19,8 +19,16 @@ copying that pipeline:
     free-surface traction condition (a 2x2 null-vector at the
     dispersion root);
   * profiles are normalised to unit vertical (Rayleigh) or transverse
-    (Love) surface displacement, the reference's convention
-    (``surfa.f:709`` divides the energy integrals by ut^2).
+    (Love) displacement at the top of the SOLID stack — the free
+    surface for solid models, the water/solid interface for
+    ocean models — the reference's convention (``surfa.f:709``
+    divides the energy integrals by ut^2; the water branch copies the
+    interface row to the top, ``surfa.f:1051-1055``);
+  * a surface water column couples to the Rayleigh problem through an
+    impedance condition (szz = tzz uz at the interface) obtained by
+    propagating the embedded acoustic system `_fluid_system4` down
+    from the free surface — the generic-machinery equivalent of the
+    reference's closed cosh/sinh water algebra (``surfa.f:876-911``).
 
 Intended for analysis (kernel/eigenfunction plots, mode QC) on the f64
 CPU path; the inversion hot path never calls it.
@@ -303,6 +311,15 @@ def eigenfunctions(h, vp, vs, rho, qsinv, periods, nlay,
     ``z`` (L,) gives the flattened-domain depths of the layer tops;
     entries at/below each lane's truncation halfspace decay physically
     and are zeroed past it.
+
+    Water-topped models (leading layers with vs = 0): the Rayleigh
+    solid stack is solved against the water-column impedance condition
+    (szz = tzz uz, szr = 0 at the interface — the reference's ``tzz``
+    coupling, ``surfa.f:876-911``), normalisation is unit uz at the
+    water/solid INTERFACE (the reference's convention: its output
+    table starts there, SURF_PERTURB ``surfa.f:1375-1379``), and the
+    water layer tops carry the physical acoustic fields (szr = 0, ur
+    slaved to szz).  Love rows inside water are zero (no SH in fluid).
     """
     c_all, u_all, ok_all = surf_forward(h, vp, vs, rho, qsinv, periods,
                                         nlay, wave=wave, cfg=cfg)
@@ -588,6 +605,15 @@ def eigenfunctions_regular(h, vp, vs, rho, qsinv, periods, nlay,
     where the sample lies above the lane's truncation halfspace, and
     the dispersion outputs ``c``, ``u``, ``valid``.
 
+    Water-topped models: samples inside the surface water column carry
+    the physical acoustic fields (Rayleigh: slaved horizontal
+    displacement + vertical displacement from `_fluid_system4`; Love:
+    zero), flagged by the extra ``in_water`` (nz,) output.  NOTE the
+    reference's ``-s dz`` writer instead prints ZEROS above the
+    water/solid interface (its depth loop starts at ``dept1(1) =
+    d(1)``, SURF_PERTURB ``surfa.f:1375,1400``) — mask with
+    ``in_water`` before comparing against reference outfiles.
+
     Sign convention note: the reference's horizontal component is
     positive at the surface for the fundamental mode (its ellipticity
     ``rat`` > 0); ours follows the A&R system sign, which may be
@@ -617,6 +643,10 @@ def eigenfunctions_regular(h, vp, vs, rho, qsinv, periods, nlay,
         z_f = z_s
         amp_fac = jnp.ones_like(z_s)
     z_tops = jnp.cumsum(fac.h_flat) - fac.h_flat
+    wtop0 = jnp.cumprod((jnp.abs(vs) <= 1e-8).astype(jnp.int32)
+                        ).astype(bool)
+    z_int = jnp.sum(jnp.where(wtop0, fac.h_flat, 0.0))
+    in_water = z_f < z_int - 1e-9
 
     nmodes = cfg.nmodes
     t_l = jnp.repeat(periods, nmodes)
@@ -681,7 +711,7 @@ def eigenfunctions_regular(h, vp, vs, rho, qsinv, periods, nlay,
     w = w.reshape(P, nmodes, nz, -1)
     dw = dw.reshape(P, nmodes, nz, -1)
     out = {"c": c_all, "u": u_all, "valid": ok_all, "z": z_s,
-           "mask": valid.reshape(P, nmodes, nz)}
+           "mask": valid.reshape(P, nmodes, nz), "in_water": in_water}
     deriv_corr = (1.0 / R0_KM) if cfg.flat else 0.0
     out["v1"] = w[..., 0] * amp_fac
     out["dv1"] = dw[..., 0] - w[..., 0] * deriv_corr
