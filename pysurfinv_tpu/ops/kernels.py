@@ -187,3 +187,144 @@ def sensitivity_kernels(h, vp, vs, rho, qsinv, periods, nlay,
         du_drho=shape(du_drho),
         q_app=shape(jnp.where(oks, q_app, 0.0), False),
     )
+
+
+def kernel_densities(h, vp, vs, rho, qsinv, periods, nlay,
+                     wave: str = "rayleigh",
+                     cfg: SurfConfig = SurfConfig(),
+                     dz: float = 2.0, nz: int = 300,
+                     group: bool = False, c_given=None):
+    """Reference-convention Fréchet DENSITIES on a regular depth grid.
+
+    The reference's kernel product is not the layer integral
+    ``sensitivity_kernels`` returns but a *density* table: normalized
+    sensitivities per km, sampled every ``-s dz`` km, assembled from
+    eigenfunctions by the variational formulas of
+    ``PHV_SENS_KERNEL.f:168-182``:
+
+      Rayleigh:
+        dc/db = b rho / (u I0) ((V1 + V2'/k)^2 + (4/k) V1' V2)
+        dc/da = a rho / (u I0) (V2 - V1'/k)^2
+        dc/drh = (dc/da a + dc/db b)/(2 rho) - c^2 (V1^2+V2^2)/(2 u I0)
+      Love:
+        dc/db = b rho / (u I0) (V3^2 + (V3'/k)^2)
+        dc/drh = dc/db b / (2 rho) - c^2 V3^2 / (2 u I0)
+
+    written as ``(dc/dm) m / c``; the group densities combine three
+    such runs at T*{0.99, 1, 1.01} by the two-sided dlnT difference of
+    ``GRV_SENS_KERNEL.f:100-108``, written ``(du/dm) m / u``.  This
+    function rebuilds the same product from OUR eigenfunctions
+    (:func:`~pysurfinv_tpu.ops.eigen.eigenfunctions_regular` — already
+    golden-validated to 1e-4 against SURF_PERTURB's depth tables) and
+    energy integrals, with two deliberate conventions:
+
+      * material lookups a(z), b(z), rho(z) use the INPUT (spherical)
+        model's layer table at the output depths — verbatim
+        ``PHV_SENS_KERNEL.f:150-160`` (including its flattened-vs-
+        spherical depth mismatch, which is what the golden files
+        contain; it grows with depth and corrupts the reference's own
+        kernels below ~200 km — see tests/test_kernel_golden.py);
+      * the group Rho density uses the sign-CORRECT "-" dlnT term for
+        every parameter.  The reference flips "+" for Rho only
+        (``GRV_SENS_KERNEL.f:107``) — a demonstrated bug
+        (test_kernel_golden.test_grv_rho_sign_bug_demonstrated), so
+        our Rho group column intentionally differs from the golden.
+
+    Returns a dict of (P, nmodes, nz) arrays ``Kvs``, ``Kvp`` (R only),
+    ``Krho`` (and ``Gvs``/``Gvp``/``Grho`` when ``group=True``), plus
+    ``z`` (nz,), ``c``, ``u`` (integral-path), ``valid``.  Rows inside
+    a surface water column are zero (the reference's tables start at
+    the water/solid interface).
+
+    ``c_given`` (P, nmodes): evaluate at externally supplied roots
+    (golden cross-checks near mode osculations), as in
+    :func:`~pysurfinv_tpu.ops.eigen.eigenfunctions_regular`.
+    """
+    import numpy as np
+
+    from pysurfinv_tpu.ops.eigen import (eigenfunctions_regular,
+                                         energy_integrals)
+
+    kind = 1 if wave in ("love", "lov", "L") else 2
+    P = periods.shape[0]
+    nmodes = cfg.nmodes
+
+    def one_run(pers, cg):
+        reg = eigenfunctions_regular(h, vp, vs, rho, qsinv, pers, nlay,
+                                     wave=wave, cfg=cfg, dz=dz, nz=nz,
+                                     c_given=cg)
+        ei = energy_integrals(h, vp, vs, rho, qsinv, pers, nlay,
+                              wave=wave, cfg=cfg, c_given=reg["c"])
+        return reg, ei
+
+    # spherical-model step lookup at the output depths (verbatim
+    # border convention: value of the layer whose [border, border)
+    # interval contains z; beyond the last border, the halfspace row)
+    h_np = np.asarray(h)[:nlay]
+    borders = np.concatenate([[0.0], np.cumsum(h_np)])
+    z = np.arange(nz) * dz
+    lay = np.clip(np.searchsorted(borders[1:-1], z, side="right"),
+                  0, nlay - 1)
+    a_z = np.asarray(vp)[lay]
+    b_z = np.asarray(vs)[lay]
+    rho_z = np.asarray(rho)[lay]
+
+    def densities(reg, ei, pers_run):
+        c = np.asarray(reg["c"])[..., None]            # (P, nmodes, 1)
+        u = np.asarray(ei["u_int"])[..., None]
+        I0 = np.asarray(ei["I0"])[..., None]
+        # k = omega / c with omega = 2 pi / T of THIS run
+        pers_b = np.asarray(pers_run, float)[:, None, None]
+        wvn = 2.0 * np.pi / (c * pers_b)
+        # Variable mapping, pinned numerically against the golden
+        # tables: PHV_SENS_KERNEL reads the outfile's FIRST depth block
+        # (the HORIZONTAL component, surface value = ratio) into its
+        # ``v2`` array and the second (VERTICAL) into ``v1``
+        # (PHV_SENS_KERNEL.f:104-118) — so in its formulas V1 is the
+        # vertical and V2 the horizontal eigenfunction.  Our A&R
+        # horizontal component additionally carries the opposite sign
+        # convention to the reference fields (see ops/eigen.py I2
+        # note): V2_ref = -v1_ours, V1_ref = v2_ours.
+        if kind == 2:
+            V1 = np.asarray(reg["v2"])       # vertical
+            dV1 = np.asarray(reg["dv2"])
+            V2 = -np.asarray(reg["v1"])      # horizontal, ref sign
+            dV2 = -np.asarray(reg["dv1"])
+            dcdb = b_z * rho_z / (u * I0) * (
+                (V1 + dV2 / wvn) ** 2 + 4.0 / wvn * dV1 * V2)
+            dcda = a_z * rho_z / (u * I0) * (V2 - dV1 / wvn) ** 2
+            dcdrh = (0.5 / rho_z * (dcda * a_z + dcdb * b_z)
+                     - c ** 2 / (2.0 * u * I0) * (V1 ** 2 + V2 ** 2))
+            out = {"Kvs": dcdb * b_z / c, "Kvp": dcda * a_z / c,
+                   "Krho": dcdrh * rho_z / c}
+        else:
+            V3 = np.asarray(reg["v1"])
+            dV3 = np.asarray(reg["dv1"])
+            dcdb = b_z * rho_z / (u * I0) * (V3 ** 2 + (dV3 / wvn) ** 2)
+            dcdrh = (0.5 / rho_z * dcdb * b_z
+                     - 0.5 * c ** 2 / (u * I0) * V3 ** 2)
+            out = {"Kvs": dcdb * b_z / c, "Krho": dcdrh * rho_z / c}
+        inw = np.asarray(reg["in_water"])
+        for k in out:
+            out[k] = np.where(inw[None, None, :], 0.0, out[k])
+        return out, np.asarray(reg["c"]), np.asarray(ei["u_int"])
+
+    pers = jnp.asarray(np.asarray(periods, float))
+    reg0, ei0 = one_run(pers, c_given)
+    K0, c0, u0 = densities(reg0, ei0, pers)
+    res = dict(K0)
+    res.update(z=z, c=c0, u=u0, valid=np.asarray(reg0["valid"]))
+
+    if group:
+        Km, cm, _ = densities(*one_run(pers * 0.99, None), pers * 0.99)
+        Kp, cp, _ = densities(*one_run(pers * 1.01, None), pers * 1.01)
+        dom = float(np.log(1.01))
+        u_c = (u0 / c0)[..., None]
+        for name in K0:
+            # de-normalise to (dc/dm) m, combine, re-normalise by u
+            kp = Kp[name] * cp[..., None]
+            km = Km[name] * cm[..., None]
+            avg = 0.5 * u_c * (2.0 - u_c) * (kp + km)
+            dif = 0.5 * u_c ** 2 * (kp - km) / dom
+            res["G" + name[1:]] = (avg - dif) / u0[..., None]
+    return res

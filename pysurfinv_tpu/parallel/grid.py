@@ -48,6 +48,94 @@ _PROGRAM_CACHE = {}
 _PROGRAM_CACHE_MAX = 8
 
 
+def _aot_dir():
+    """Directory of the cross-process AOT program cache, or None.
+
+    ``PYSURFINV_AOT_CACHE``: unset/"0"/"off" disables (default for
+    tests/CPU); "1" uses ``~/.cache/pysurfinv_aot``; any other value is
+    the directory.  See ``_aot_wrap``.
+    """
+    env = os.environ.get("PYSURFINV_AOT_CACHE", "0")
+    if env.strip().lower() in ("", "0", "off", "none", "disable"):
+        return None
+    base = (os.path.expanduser("~/.cache/pysurfinv_aot")
+            if env.strip() == "1" else env)
+    os.makedirs(base, exist_ok=True)
+    return base
+
+
+def _aot_wrap(fn_jit, tag, key, n_dev):
+    """Route a jitted program through a jax.export AOT disk cache.
+
+    The fresh-process cost of ``invert_grid`` is dominated by HOST
+    TRACING of the big segment program (~25 s; the XLA compile itself
+    is already covered by the persistent compile cache).  jax.export
+    serializes the *traced* StableHLO, so a process that finds a blob
+    skips tracing entirely: deserialize + call.  Every AOT-enabled
+    process calls through the SAME deserialized-or-exported module, so
+    its XLA compilation hashes identically across processes and the
+    persistent compile cache keeps working.
+
+    Scope: single-device programs only (the exported module pins the
+    device topology; multi-chip meshes keep the plain trace path), and
+    only when ``PYSURFINV_AOT_CACHE`` opts in — the blob embeds Mosaic
+    custom calls (``tpu_custom_call``), which are jaxlib/topology
+    specific, hence the cache key includes jax version and backend.
+    Blob keying adds the exact arg shapes/dtypes: a mismatched call
+    re-exports under its own key.
+    """
+    base = _aot_dir()
+    if base is None or n_dev != 1:
+        return fn_jit
+
+    import hashlib
+    import json
+
+    import jax
+    import jax.numpy as jnp
+
+    state = {}
+
+    def wrapped(*args):
+        shapes = repr(jax.tree.map(
+            lambda x: (tuple(jnp.shape(x)), jnp.result_type(x).name),
+            args))
+        if state.get("shapes") != shapes:
+            from pysurfinv_tpu.inversion.compiled import BrownianSpec
+            try:
+                jax.export.register_namedtuple_serialization(
+                    BrownianSpec,
+                    serialized_name="pysurfinv_tpu.BrownianSpec")
+            except ValueError:
+                pass  # already registered
+            backend = jax.devices()[0].platform
+            hk = hashlib.sha1(repr(
+                (key, tag, shapes, jax.__version__, backend)
+            ).encode()).hexdigest()[:20]
+            path = os.path.join(base, f"{tag}_{hk}.bin")
+            exp = None
+            if os.path.exists(path):
+                try:
+                    with open(path, "rb") as f:
+                        exp = jax.export.deserialize(f.read())
+                except Exception:   # noqa: BLE001 — stale/corrupt blob
+                    exp = None
+            if exp is None:
+                checks = [jax.export.DisabledSafetyCheck.custom_call(
+                    "tpu_custom_call")]
+                exp = jax.export.export(fn_jit,
+                                        disabled_checks=checks)(*args)
+                tmp = f"{path}.tmp.{os.getpid()}"
+                with open(tmp, "wb") as f:
+                    f.write(exp.serialize())
+                os.replace(tmp, path)
+            state["shapes"] = shapes
+            state["call"] = jax.jit(exp.call)
+        return state["call"](*args)
+
+    return wrapped
+
+
 def _fetch_rows(rows_dev):
     """Device -> host fetch of one segment's rows, optionally as
     parallel chunk streams (``PYSURFINV_FETCH_STREAMS=k``).
@@ -224,7 +312,7 @@ def _batched_programs(cm, pcls, cfg, wave, scfg, mesh):
             out_specs=pp, check_vma=False)
     else:
         init_all = init_fn
-    init_all = jax.jit(init_all)
+    init_all = _aot_wrap(jax.jit(init_all), "init", key, n_dev)
 
     seg_cache = {}
 
@@ -238,7 +326,7 @@ def _batched_programs(cm, pcls, cfg, wave, scfg, mesh):
                     in_specs=(pp, pp, pp, pp, P()),
                     out_specs=(pp, P(None, axes)),
                     check_vma=False)
-            seg_cache[n] = jax.jit(f)
+            seg_cache[n] = _aot_wrap(jax.jit(f), f"seg{n}", key, n_dev)
         return seg_cache[n]
 
     entry = (init_all, seg_all)

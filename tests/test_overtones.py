@@ -34,6 +34,13 @@ NMODES = 4
 # overtones below the truncation halfspace's cutoff here
 PERIODS = [10.0, 15.0, 20.0]
 
+# High-mode envelope (VERDICT r3 next #8): SURF_PERTURB supports up to
+# 10 modes (init_deep.f:16); validate 6 at periods where the dense f64
+# scan finds >= 7 trapped roots (measured: R @ 8/10/12 s -> 10/9/7,
+# L -> 11/8/7, adjacent-root gaps all >> dc)
+NMODES_HI = 6
+PERIODS_HI = [8.0, 10.0, 12.0]
+
 
 def _brute_roots(m, wave, t, n_roots, dc=1e-3):
     """First ``n_roots`` secular sign changes, dense-scan + bisection."""
@@ -77,21 +84,19 @@ def _brute_roots(m, wave, t, n_roots, dc=1e-3):
     return np.array(roots)
 
 
-@pytest.mark.parametrize("wave", ["rayleigh", "love"])
-def test_four_modes_vs_brute_force(eus_model, wave):
-    m = eus_model
-    cfg = SurfConfig(nmodes=NMODES)
+def _modes_vs_brute(m, wave, nmodes, periods, min_roots):
+    cfg = SurfConfig(nmodes=nmodes)
     c, u, ok = surf_forward(
         jnp.array(m["h"]), jnp.array(m["vp"]), jnp.array(m["vs"]),
         jnp.array(m["rho"]), jnp.array(m["qsinv"]),
-        jnp.array(np.array(PERIODS)), m["nlay"], wave=wave, cfg=cfg)
+        jnp.array(np.array(periods)), m["nlay"], wave=wave, cfg=cfg)
     c = np.asarray(c)
     ok = np.asarray(ok)
 
-    for ip, t in enumerate(PERIODS):
-        truth = _brute_roots(m, wave, t, NMODES)
-        n = min(len(truth), NMODES)
-        assert n >= 3, f"oracle found only {n} roots at T={t}"
+    for ip, t in enumerate(periods):
+        truth = _brute_roots(m, wave, t, nmodes)
+        n = min(len(truth), nmodes)
+        assert n >= min_roots, f"oracle found only {n} roots at T={t}"
         assert ok[ip, :n].all(), f"solver missed a mode at T={t}"
         rel = np.abs(c[ip, :n] - truth[:n]) / truth[:n]
         # the oracle's dc=1e-3 scan can land the warm-started solver and
@@ -101,6 +106,18 @@ def test_four_modes_vs_brute_force(eus_model, wave):
         assert rel.max() < 1e-5, f"T={t} {wave}: {rel}"
 
     # overtone ordering: strictly increasing c across found modes
-    for ip in range(len(PERIODS)):
+    for ip in range(len(periods)):
         cc = c[ip, ok[ip]]
         assert (np.diff(cc) > 0).all()
+
+
+@pytest.mark.parametrize("wave", ["rayleigh", "love"])
+def test_four_modes_vs_brute_force(eus_model, wave):
+    _modes_vs_brute(eus_model, wave, NMODES, PERIODS, min_roots=3)
+
+
+@pytest.mark.parametrize("wave", ["rayleigh", "love"])
+def test_six_modes_vs_brute_force(eus_model, wave):
+    """Modes 0-5 phase parity vs the dense-scan oracle — the
+    SURF_PERTURB high-mode envelope check (VERDICT r3 next #8)."""
+    _modes_vs_brute(eus_model, wave, NMODES_HI, PERIODS_HI, min_roots=6)
