@@ -119,6 +119,20 @@ class SurfConfig(NamedTuple):
     #                           bound and it is a wash.  Group velocity
     #                           still comes from the separate tangent
     #                           launch.  Pallas batched path only.
+    fhandoff: bool = False    # seed the refinement with the bracket
+    #                           sweep's endpoint secular values, skipping
+    #                           the two Illinois init launches (and
+    #                           newton_sep's sign-probe launch).  Default
+    #                           OFF: at bench scale (65k lanes) the
+    #                           sweep-side gathers/threading cost MORE
+    #                           than the removed launches — same-process
+    #                           v5e A/B: Rayleigh-alone 499-505 ms ON vs
+    #                           481-484 OFF.  Opt-in candidate for
+    #                           small-lane launch-overhead-bound runs
+    #                           (the MCMC grid sampler); OFF compiles the
+    #                           identical pre-handoff program (the unused
+    #                           gather chain is XLA dead code).  Pallas
+    #                           batched path only.
     newton_sep: int = 0       # >0 replaces the refinement on the Pallas
     #                           batched path with this many SEPARATED
     #                           safeguarded-Newton iterations: each
@@ -212,16 +226,30 @@ def _bracket(F, c_start, t, mdl, nlay, cfg: SurfConfig, nscan: int,
     return cs[i], found, mms[i + 1]
 
 
-def _illinois(F_eval, lo, hi, n_iter: int):
+def _illinois(F_eval, lo, hi, n_iter: int, f_lo=None, f_hi=None):
     """Fixed-iteration Illinois (regula falsi) on elementwise brackets.
 
     ``F_eval`` maps a c array (same shape as ``lo``) to secular values;
     all state updates are elementwise ``where`` masks, so this runs any
     number of lanes in lockstep — scalars in phase 1's mini-refine, the
     full (period, mode) lane set in phase 2.
+
+    ``f_lo``/``f_hi``: optional pre-computed endpoint values — the
+    bracket sweep already evaluated F at both bracket ends, so handing
+    them over saves the two init launches (~20% of the refine phase on
+    the fused-kernel path).  Sweep values carry the DYNAMIC halfspace
+    truncation while refinement interior points use the FROZEN one;
+    the endpoint values only steer the secant (signs drive the bracket
+    bookkeeping), so a rare dynamic/frozen sign disagreement costs at
+    most convergence-to-a-bracket-end — bounded by the bracket width
+    and recovered by the free Newton polish (accuracy pinned vs a
+    40-iteration oracle, tests/test_warm_roots.py and the bench
+    ladders).
     """
-    f_lo = F_eval(lo)
-    f_hi = F_eval(hi)
+    if f_lo is None:
+        f_lo = F_eval(lo)
+    if f_hi is None:
+        f_hi = F_eval(hi)
     side0 = jnp.zeros(jnp.shape(lo), jnp.int32)
 
     def step(_, state):
@@ -637,7 +665,9 @@ def _surf_forward_batch_fast(h, vp, vs, rho, qsinv, periods, nlay,
         Mirrors ``_bracket``/``_first_flip``: the search window stops at
         c >= b_halfspace + 0.3 (calcul.f:165-167) and brackets whose
         root would exceed the halfspace shear velocity are rejected
-        (calcul.f:191).  Returns (c_lo, found, mm_at_upper_end).
+        (calcul.f:191).  Returns (c_lo, found, mm_at_upper_end,
+        F(c_lo), F(c_lo + step)) — the endpoint secular values feed the
+        refinement so it skips its own init evaluations.
         ``t_b`` is the per-model period vector (B,).
         """
         cs = c_start[None, :] + step * jnp.arange(K + 1, dtype=dtype)[:, None]
@@ -652,9 +682,11 @@ def _surf_forward_batch_fast(h, vp, vs, rho, qsinv, periods, nlay,
         bhs_up = jnp.take_along_axis(bhs, (i + 1)[None], 0)[0]
         mm_up = jnp.take_along_axis(mm, (i + 1)[None], 0)[0]
         found = found & (c_lo <= bhs_up)
-        return c_lo, found, mm_up
+        f_lo = jnp.take_along_axis(F, i[None], 0)[0]
+        f_hi = jnp.take_along_axis(F, (i + 1)[None], 0)[0]
+        return c_lo, found, mm_up, f_lo, f_hi
 
-    def illinois_lanes(t_kb, lo, hi, mm_kb, n_iter):
+    def illinois_lanes(t_kb, lo, hi, mm_kb, n_iter, f_lo=None, f_hi=None):
         """`_illinois` on (K, B) lanes via the frozen-truncation kernel.
 
         Refinement always runs inside a bracket with the closure layer
@@ -668,7 +700,7 @@ def _surf_forward_batch_fast(h, vp, vs, rho, qsinv, periods, nlay,
                 cc, t_kb, mm_kb, *model_T, nlay, wave=wave,
                 t_base=cfg.t_base, atten=cfg.atten, interpret=interpret)
 
-        return _illinois(Ff, lo, hi, n_iter)
+        return _illinois(Ff, lo, hi, n_iter, f_lo=f_lo, f_hi=f_hi)
 
     nmodes = cfg.nmodes
     # periods: (P,) shared or (B, P) per model; handled as (B, P)
@@ -687,7 +719,7 @@ def _surf_forward_batch_fast(h, vp, vs, rho, qsinv, periods, nlay,
         Bracket widths are static; :func:`_bracket_widths` mirrors the
         branch structure here.
         """
-        c_los, mms, founds = [], [], []
+        c_los, mms, founds, flos, fhis = [], [], [], [], []
         root_est = None
         for iq in range(nmodes):
             start = starts[iq]
@@ -695,23 +727,29 @@ def _surf_forward_batch_fast(h, vp, vs, rho, qsinv, periods, nlay,
                 start = jnp.maximum(start, root_est + 0.01 * dc)
             if iq == 0 and coarse0 > 1:
                 k = max(nscan // coarse0, 1)
-                c_lo, found, mm = sweep(start, t, k, coarse0 * dc)
+                c_lo, found, mm, flo, fhi = sweep(start, t, k,
+                                                  coarse0 * dc)
                 width = coarse0 * dc
                 if narrow:
-                    c_lo2, found_f, mm2 = sweep(c_lo, t, coarse0, dc)
+                    c_lo2, found_f, mm2, flo, fhi = sweep(c_lo, t,
+                                                          coarse0, dc)
                     c_lo, mm = c_lo2, mm2
                     found = found & found_f
                     width = dc
             else:
-                c_lo, found, mm = sweep(start, t, nscan, dc)
+                c_lo, found, mm, flo, fhi = sweep(start, t, nscan, dc)
                 width = dc
             if iq < nmodes - 1:
                 root_est = illinois_lanes(
-                    t[None], c_lo[None], c_lo[None] + width, mm[None], 6)[0]
+                    t[None], c_lo[None], c_lo[None] + width, mm[None], 6,
+                    f_lo=flo[None], f_hi=fhi[None])[0]
             c_los.append(c_lo)
             mms.append(mm)
             founds.append(found)
-        return jnp.stack(c_los), jnp.stack(mms), jnp.stack(founds)
+            flos.append(flo)
+            fhis.append(fhi)
+        return (jnp.stack(c_los), jnp.stack(mms), jnp.stack(founds),
+                jnp.stack(flos), jnp.stack(fhis))
 
     def _bracket_widths(coarse0, narrow):
         """Static per-mode bracket widths matching bracket_period."""
@@ -720,39 +758,42 @@ def _surf_forward_batch_fast(h, vp, vs, rho, qsinv, periods, nlay,
 
     def cold_bracket():
         """Standard phase 1: cold first-period scan + warm-started
-        period chain + rescue.  Returns (c_lo, mm, ok), each
-        (P, nmodes, B)."""
+        period chain + rescue.  Returns (c_lo, mm, ok, f_lo, f_hi),
+        each (P, nmodes, B)."""
         t1 = periods2[:, 0]
         c_init = jax.vmap(
             lambda h_, vs_, q_, n_, t_: _initial_c(h_, vs_, q_, n_, t_,
                                                    wave, cfg)
         )(h_eff, vs, qsinv, nlay, t1)
         starts0 = jnp.broadcast_to(c_init[None], (nmodes, B)).astype(dtype)
-        lo0, mm0, ok0 = bracket_period(t1, starts0, cfg.nscan_first,
-                                       cfg.coarse_first, narrow=True)
+        lo0, mm0, ok0, fl0, fh0 = bracket_period(
+            t1, starts0, cfg.nscan_first, cfg.coarse_first, narrow=True)
         if nmodes > 1:
             ok0 = jax.vmap(_mode_chain, in_axes=1, out_axes=1)(ok0)
 
         def step(carry, t):
             c_start, alive = carry
-            lok, mmk, okk = bracket_period(t, c_start, cfg.nscan,
-                                           cfg.coarse, narrow=False)
+            lok, mmk, okk, flk, fhk = bracket_period(
+                t, c_start, cfg.nscan, cfg.coarse, narrow=False)
             okk = okk & alive
             if nmodes > 1:
                 okk = jax.vmap(_mode_chain, in_axes=1, out_axes=1)(okk)
             new_start = jnp.where(okk, lok - cfg.warm_backoff * dc,
                                   c_start)
-            return (new_start, okk), (lok, mmk, okk)
+            return (new_start, okk), (lok, mmk, okk, flk, fhk)
 
         if P == 1:
-            return lo0[None], mm0[None], ok0[None]
+            return lo0[None], mm0[None], ok0[None], fl0[None], fh0[None]
 
         carry0 = (jnp.where(ok0, lo0 - cfg.warm_backoff * dc, starts0),
                   ok0)
-        _, (lor, mmr, okr) = lax.scan(step, carry0, periods2[:, 1:].T)
+        _, (lor, mmr, okr, flr, fhr) = lax.scan(step, carry0,
+                                                periods2[:, 1:].T)
         c_lo = jnp.concatenate([lo0[None], lor], 0)    # (P, nmodes, B)
         mm = jnp.concatenate([mm0[None], mmr], 0)
         ok = jnp.concatenate([ok0[None], okr], 0)
+        f_lo = jnp.concatenate([fl0[None], flr], 0)
+        f_hi = jnp.concatenate([fh0[None], fhr], 0)
 
         # ---- rescue pass (see surf_forward): sparse period lists can
         # outrun the warm-start window; re-bracket failed lanes from a
@@ -766,7 +807,7 @@ def _surf_forward_batch_fast(h, vp, vs, rho, qsinv, periods, nlay,
             else (lambda o: o)
 
         def _rescue(carry):
-            c_lo, mm, ok = carry
+            c_lo, mm, ok, f_lo, f_hi = carry
 
             def cold(t_b):
                 ci = jax.vmap(
@@ -777,18 +818,18 @@ def _surf_forward_batch_fast(h, vp, vs, rho, qsinv, periods, nlay,
                 return bracket_period(t_b, st, cfg.nscan_first,
                                       cfg.coarse, narrow=False)
 
-            lo_c, mm_c, ok_c = lax.map(cold, periods2[:, 1:].T)
+            lo_c, mm_c, ok_c, fl_c, fh_c = lax.map(cold,
+                                                   periods2[:, 1:].T)
             ok_c = chain_b(ok_c)
             use = ~ok[1:] & ok_c
             ok_new = jnp.concatenate([ok[:1], chain_b(ok[1:] | ok_c)], 0)
-            return (jnp.concatenate(
-                        [c_lo[:1], jnp.where(use, lo_c, c_lo[1:])], 0),
-                    jnp.concatenate(
-                        [mm[:1], jnp.where(use, mm_c, mm[1:])], 0),
-                    ok_new)
+            mix = lambda a, b: jnp.concatenate(  # noqa: E731
+                [a[:1], jnp.where(use, b, a[1:])], 0)
+            return (mix(c_lo, lo_c), mix(mm, mm_c), ok_new,
+                    mix(f_lo, fl_c), mix(f_hi, fh_c))
 
         return lax.cond(jnp.all(ok), lambda x: x, _rescue,
-                        (c_lo, mm, ok))
+                        (c_lo, mm, ok, f_lo, f_hi))
 
     use_warm = c_warm is not None and nmodes == 1
     if use_warm:
@@ -821,19 +862,23 @@ def _surf_forward_batch_fast(h, vp, vs, rho, qsinv, periods, nlay,
         w_lo = tk0(csr)
         w_found = w_found & (w_lo <= tk1(bhs_r)) & (c_warm.T > 0.05)
         w_mm = tk1(mm_r)
+        Fr = F.reshape(P, nprobe + 1, B)
         # expand the nmodes=1 axis to match cold_bracket's layout
-        warm = (w_lo[:, None], w_mm[:, None], w_found[:, None])
+        warm = (w_lo[:, None], w_mm[:, None], w_found[:, None],
+                tk0(Fr)[:, None], tk1(Fr)[:, None])
 
         def _fill_cold(wargs):
-            w_lo, w_mm, w_ok = wargs
-            c_lo, mm, ok = cold_bracket()
+            w_lo, w_mm, w_ok, w_fl, w_fh = wargs
+            c_lo, mm, ok, f_lo, f_hi = cold_bracket()
             return (jnp.where(w_ok, w_lo, c_lo),
-                    jnp.where(w_ok, w_mm, mm), w_ok | ok, w_ok)
+                    jnp.where(w_ok, w_mm, mm), w_ok | ok,
+                    jnp.where(w_ok, w_fl, f_lo),
+                    jnp.where(w_ok, w_fh, f_hi), w_ok)
 
-        c_lo, mm, ok, from_warm = lax.cond(
+        c_lo, mm, ok, f_lo, f_hi, from_warm = lax.cond(
             jnp.all(warm[2]), lambda w: (*w, w[2]), _fill_cold, warm)
     else:
-        c_lo, mm, ok = cold_bracket()
+        c_lo, mm, ok, f_lo, f_hi = cold_bracket()
         from_warm = None
 
     # ---- phase 2: batched Illinois over (P*nmodes, B) lanes ----------
@@ -842,6 +887,13 @@ def _surf_forward_batch_fast(h, vp, vs, rho, qsinv, periods, nlay,
     lo_l = c_lo.reshape(KL, B)
     mm_l = mm.reshape(KL, B)
     ok_l = ok.reshape(KL, B)
+    # endpoint handoff — see the SurfConfig.fhandoff doc (measured a
+    # NET LOSS at bench scale; opt-in for launch-overhead-bound runs)
+    if cfg.fhandoff:
+        flo_l = f_lo.reshape(KL, B)
+        fhi_l = f_hi.reshape(KL, B)
+    else:
+        flo_l = fhi_l = None
 
     # static per-(period, mode) bracket widths -> (KL, 1); warm-seeded
     # lanes always carry a coarse*dc bracket instead
@@ -855,14 +907,15 @@ def _surf_forward_batch_fast(h, vp, vs, rho, qsinv, periods, nlay,
     hi_l = jnp.broadcast_to(lo_l + w_l, lo_l.shape)
 
     if cfg.newton_sep >= 1:
-        # separated safeguarded Newton: one cheap frozen launch probes
-        # sign(F(lo)); then newton_sep gradient launches iterate from
-        # the bracket midpoint — Newton step clamped by the live
-        # bracket with midpoint fallback (guaranteed progress), except
-        # the LAST step, which is a CLIPPED Newton polish (the same
-        # convention as the Illinois path's free polish; a midpoint
-        # bounce there would throw a converged lane back to the middle
-        # of whatever bracket remains).
+        # separated safeguarded Newton: the bracket side comes from the
+        # sweep's own endpoint value (no probe launch); then newton_sep
+        # gradient launches iterate from the bracket midpoint — Newton
+        # step clamped by the live bracket with midpoint fallback
+        # (guaranteed progress), except the LAST step, which is a
+        # CLIPPED Newton polish (the same convention as the Illinois
+        # path's free polish; a midpoint bounce there would throw a
+        # converged lane back to the middle of whatever bracket
+        # remains).
         from pysurfinv_tpu.ops.pallas_secular import (
             secular_lanes_frozen, secular_lanes_grad)
 
@@ -871,9 +924,10 @@ def _surf_forward_batch_fast(h, vp, vs, rho, qsinv, periods, nlay,
                 cc, t_l, mm_l, *model_T, nlay, wave=wave,
                 t_base=cfg.t_base, atten=cfg.atten, interpret=interpret)
 
-        s_lo = _sign(secular_lanes_frozen(
-            lo_l, t_l, mm_l, *model_T, nlay, wave=wave,
-            t_base=cfg.t_base, atten=cfg.atten, interpret=interpret))
+        s_lo = _sign(flo_l) if flo_l is not None else _sign(
+            secular_lanes_frozen(
+                lo_l, t_l, mm_l, *model_T, nlay, wave=wave,
+                t_base=cfg.t_base, atten=cfg.atten, interpret=interpret))
         cur_lo, cur_hi = lo_l, hi_l
         x = 0.5 * (lo_l + hi_l)
         for j in range(cfg.newton_sep):
@@ -923,7 +977,8 @@ def _surf_forward_batch_fast(h, vp, vs, rho, qsinv, periods, nlay,
                 t_base=cfg.t_base, atten=cfg.atten, n_ill=cfg.nbisect,
                 n_newton=0, compute_group=False, interpret=interpret)
         else:
-            root_l = illinois_lanes(t_l, lo_l, hi_l, mm_l, cfg.nbisect)
+            root_l = illinois_lanes(t_l, lo_l, hi_l, mm_l, cfg.nbisect,
+                                    f_lo=flo_l, f_hi=fhi_l)
         # ---- group velocity, u = c / (1 - (T/c) F_T/F_c) ------------
         # Exact forward-mode tangents *inside* the fused kernel
         # (secular_lanes_grad): one launch for all lanes, primal

@@ -246,6 +246,7 @@ def mcmc_solver_cfg():
                       fuse_illinois=e("PYSURFINV_MCMC_FUSE_ILL", "0") == "1",
                       nnewton=int(e("PYSURFINV_MCMC_NNEWTON", 0)),
                       newton_sep=int(e("PYSURFINV_MCMC_NEWTON_SEP", 3)),
+                      fhandoff=e("PYSURFINV_MCMC_FHANDOFF", "0") == "1",
                       coarse_first=8)
 
 

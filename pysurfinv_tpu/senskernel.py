@@ -107,13 +107,23 @@ class SensKernel:
     ``kernel_grv`` have shape (endmode+1, nCol, nPeriods, nDepths) with
     columns (Vs, Vp, Rho) for Rayleigh and (Vs, Rho) for Love, each
     normalized as (dc/dpar) * par / c per km of depth.
+
+    ``method``: "ad" (default) spreads the implicit-diff AD layer
+    kernels uniformly over each layer — exact layer integrals, layer-
+    constant densities.  "eigen" instead computes the reference's
+    pointwise variational densities from eigenfunctions
+    (:func:`~pysurfinv_tpu.ops.kernels.kernel_densities`, the
+    PHV/GRV_SENS_KERNEL product, golden-validated to ~1% —
+    tests/test_kernel_density_golden.py); use it when comparing
+    against reference kernel files sample-by-sample.
     """
 
     def __init__(self, model=None, wtype="R", Tmin=20, Tmax=100, Tstep=10,
-                 endmode=0, dz=2):
+                 endmode=0, dz=2, method="ad"):
         import jax.numpy as jnp
         from pysurfinv_tpu.ops.dispersion import SurfConfig
-        from pysurfinv_tpu.ops.kernels import sensitivity_kernels
+        from pysurfinv_tpu.ops.kernels import (kernel_densities,
+                                               sensitivity_kernels)
 
         self.model = _load_model(model)
         if wtype == "R":
@@ -135,6 +145,24 @@ class SensKernel:
 
         sm = sensModel(self.model)
         H, VP, VS, RHO, QSI, nlay = _padded(sm)
+        if method == "eigen":
+            out = kernel_densities(
+                jnp.asarray(H), jnp.asarray(VP), jnp.asarray(VS),
+                jnp.asarray(RHO), jnp.asarray(QSI),
+                jnp.asarray(np.array(list(self.periods), float)), nlay,
+                wave=wave, cfg=SurfConfig(nmodes=M), dz=dz,
+                nz=len(self.zdeps), group=True)
+            self.result = out
+            self.c = np.asarray(out["c"]).reshape(nper, M)
+            self.u = np.asarray(out["u"]).reshape(nper, M)
+            cols = {"Vs": "vs", "Vp": "vp", "Rho": "rho"}
+            for icol, name in enumerate(self.xtype):
+                kk = "K" + cols[name]
+                gk = "G" + cols[name]
+                for m in range(M):
+                    self.kernel_phv[m, icol] = np.asarray(out[kk])[:, m]
+                    self.kernel_grv[m, icol] = np.asarray(out[gk])[:, m]
+            return
         res = sensitivity_kernels(
             jnp.asarray(H), jnp.asarray(VP), jnp.asarray(VS),
             jnp.asarray(RHO), jnp.asarray(QSI),

@@ -83,6 +83,10 @@ VARIANTS = {
                  "PYSURFINV_MCMC_COARSE": "8"}, 64, 6000, 200),
     # all Illinois iterations in one plain-body kernel launch
     "fuse_ill": ({"PYSURFINV_MCMC_FUSE_ILL": "1"}, 64, 6000, 200),
+    # bracket->refine endpoint handoff (skips newton_sep's sign-probe
+    # launch per step; a LOSS at bench scale, candidate win here where
+    # launches are overhead-bound — see SurfConfig.fhandoff)
+    "fhandoff": ({"PYSURFINV_MCMC_FHANDOFF": "1"}, 64, 6000, 200),
     # the pre-round-2 full isgood build (vs-only fast path disabled)
     "isgoodfull": ({"PYSURFINV_ISGOOD_FULL": "1"}, 64, 6000, 200),
     # proposal-compaction pyramid density (shipped default r=2; r=4 is
@@ -125,6 +129,7 @@ MCMC_KEYS = [k for k in ("PYSURFINV_MCMC_NSCAN", "PYSURFINV_MCMC_BACKOFF",
                          "PYSURFINV_MCMC_NBISECT", "PYSURFINV_MCMC_COARSE",
                          "PYSURFINV_MCMC_NNEWTON",
                          "PYSURFINV_MCMC_NEWTON_SEP",
+                         "PYSURFINV_MCMC_FHANDOFF",
                          "PYSURFINV_ISGOOD_FULL",
                          "PYSURFINV_PROPOSE_RATIO",
                          "PYSURFINV_PROPOSE_FLAT",

@@ -102,3 +102,26 @@ def test_group_densities_vs_test1(dens, golden):
     wt, out = dens
     n = _check(golden, wt, out, "grv", 0, GRV_TOL)
     assert n >= 8
+
+
+def test_senskernel_eigen_method():
+    """SensKernel(method='eigen') exposes the density product through
+    the reference-shaped wrapper API."""
+    import pandas as pd
+
+    from pysurfinv_tpu.senskernel import SensKernel
+
+    df = pd.DataFrame({
+        "H": [3.0, 10.0, 20.0, 0.0], "Vp": [5.0, 6.1, 8.1, 8.2],
+        "Vs": [2.9, 3.6, 4.6, 4.7], "Rho": [2.6, 2.9, 3.3, 3.35],
+        "Qs": [80.0, 350.0, 150.0, 150.0]})
+    sk = SensKernel(model=df, wtype="R", Tmin=10, Tmax=30, Tstep=10,
+                    endmode=0, dz=2, method="eigen")
+    assert sk.kernel_phv.shape[:2] == (1, 3)
+    assert np.isfinite(sk.kernel_phv).all()
+    assert np.isfinite(sk.kernel_grv).all()
+    assert (sk.c > 0).all() and (sk.u > 0).all()
+    # Vs phase density integrates to ~the normalized total sensitivity:
+    # sum_z K dz ~ O(0.3-1) for a fundamental-mode crustal model
+    tot = (sk.kernel_phv[0, 0] * 2.0).sum(axis=-1)
+    assert (tot > 0.1).all() and (tot < 2.0).all()

@@ -197,9 +197,13 @@ def test_batch_fast_path_matches_vmap(batch, nnewton):
 def test_fused_illinois_matches_separate_launches(batch):
     """SurfConfig.fuse_illinois routes the nbisect Illinois iterations
     through ONE plain-body refine_lanes launch; the algorithm is the
-    same as illinois_lanes' separate frozen launches, so roots, group
-    velocities and validity masks must match exactly (the MCMC sampler
-    exposes it via PYSURFINV_MCMC_FUSE_ILL)."""
+    same as illinois_lanes' separate frozen launches (the MCMC sampler
+    exposes it via PYSURFINV_MCMC_FUSE_ILL).  Roots agree to the f32
+    Illinois noise floor rather than bitwise: the separate-launch path
+    seeds its secant with the bracket sweep's endpoint values (the
+    init-launch handoff, ops/dispersion._illinois) while the fused
+    kernel evaluates its own frozen-truncation endpoints — measured
+    worst-lane difference 7e-7 km/s."""
     h, vp, vs, rho, qsi, nlay = batch
     periods = jnp.asarray(np.array([10.0, 20.0, 40.0, 80.0], np.float32))
     base = dict(nmodes=1, backend="pallas_interpret", coarse=4, nbisect=11)
@@ -211,5 +215,7 @@ def test_fused_illinois_matches_separate_launches(batch):
                                        wave="rayleigh", cfg=cfg))
     (c0, u0, ok0), (c1, u1, ok1) = outs
     np.testing.assert_array_equal(np.asarray(ok0), np.asarray(ok1))
-    np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
-    np.testing.assert_array_equal(np.asarray(u0), np.asarray(u1))
+    np.testing.assert_allclose(np.asarray(c0), np.asarray(c1), atol=1e-5)
+    # the tangent-ratio sensitivity amplifies a noise-floor root shift
+    # ~1000x into u (same effect bounds the bench's |du| tails)
+    np.testing.assert_allclose(np.asarray(u0), np.asarray(u1), atol=1e-3)
