@@ -126,10 +126,22 @@ def main():
         backend=os.environ.get("BENCH_BACKEND", "auto"),
         compute_group=os.environ.get("BENCH_GROUP", "1") == "1")
 
+    # Love runs 2 fewer Illinois iterations: its secular is far better
+    # conditioned (nb8: |dc| q99 4.8e-7 vs Rayleigh's 2.9e-6 against a
+    # 40-iteration oracle), so nb6 stays at |dc| q99 4.8e-7 max 7.0e-5
+    # / |du| q99 5.9e-5 — 20x inside the budgets — and buys ~2% joint
+    # (round-4 ladders: scripts/ab_joint.py; newton_sep/coarse/
+    # narrow-first/endpoint-handoff/Love-seeded variants all measured
+    # and rejected on accuracy or net-loss grounds, docs/PERF_NOTES.md)
+    cfg_love = cfg._replace(
+        nbisect=int(os.environ.get("BENCH_NBISECT_LOVE", 6)))
+
     def make_run(wave):
+        wcfg = cfg_love if wave == "love" else cfg
+
         def run():
             c, u, ok = surf_forward_batch(H, VP, VS, RHO, QSI, periods,
-                                          NL, wave=wave, cfg=cfg)
+                                          NL, wave=wave, cfg=wcfg)
             return c, ok
         return run
 
