@@ -201,11 +201,17 @@ def make_mala_sampler(cm: CompiledModel, pcls, scfg: SurfConfig,
             d = b - mu
             return -jnp.sum(d * d / (2.0 * tau * tau * M), axis=-1)
 
+        # Step RNG folds start past the init folds (2*CL, 2*CL+1 used
+        # by make_segmented_sampler's init, mcmc.py) so no step's
+        # proposal/accept key can collide with an init draw for any
+        # chain_len (advisor round-4 finding: 3r folds overlapped).
+        fold0 = 2 * mcfg.chain_len + 2
+
         def step(carry, r):
             theta0, m0, chi0, L0, g0, cw = carry
             at_init = r == 0
-            kx = jax.vmap(lambda lk: jax.random.fold_in(lk, 3 * r))(
-                lane_keys)
+            kx = jax.vmap(lambda lk: jax.random.fold_in(
+                lk, fold0 + 3 * r))(lane_keys)
             xi = jax.vmap(lambda k, s: jax.random.normal(
                 k, s.shape, s.dtype))(kx, sd)
             prop = theta0 + drift_of(g0) + tau * sd * xi
@@ -222,7 +228,7 @@ def make_mala_sampler(cm: CompiledModel, pcls, scfg: SurfConfig,
             log_a = (-(chi1 - chi0) / 2.0
                      + logq(theta0, prop, g1) - logq(prop, theta0, g0))
             u = jax.vmap(lambda lk: jax.random.uniform(
-                jax.random.fold_in(lk, 3 * r + 1),
+                jax.random.fold_in(lk, fold0 + 3 * r + 1),
                 dtype=theta0.dtype))(lane_keys)
             accept = (jnp.log(u) < log_a) & okp \
                 & (m1 < mcfg.misfit_fail)

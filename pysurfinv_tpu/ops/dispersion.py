@@ -129,7 +129,13 @@ class SurfConfig(NamedTuple):
     #                           v5e A/B: Rayleigh-alone 499-505 ms ON vs
     #                           481-484 OFF.  Opt-in candidate for
     #                           small-lane launch-overhead-bound runs
-    #                           (the MCMC grid sampler); OFF compiles the
+    #                           (the MCMC grid sampler).  Gates ONLY the
+    #                           phase-2 refinement handoff: the between-
+    #                           mode root estimate (nmodes>1) always
+    #                           seeds its secant from the sweep endpoint
+    #                           values regardless of this flag (covered
+    #                           by the 6-mode overtone parity test).
+    #                           With OFF, the phase-2 program is the
     #                           identical pre-handoff program (the unused
     #                           gather chain is XLA dead code).  Pallas
     #                           batched path only.

@@ -64,6 +64,35 @@ def _aot_dir():
     return base
 
 
+_SRC_FP = None
+
+
+def _source_fingerprint():
+    """Content hash of every pysurfinv_tpu .py source file (cached).
+
+    Folded into the AOT blob key so a code change to the sampler or
+    forward re-exports automatically instead of silently executing a
+    stale serialized program (advisor round-4 medium finding).
+    """
+    global _SRC_FP
+    if _SRC_FP is None:
+        import hashlib
+
+        import pysurfinv_tpu
+        root = os.path.dirname(pysurfinv_tpu.__file__)
+        h = hashlib.sha1()
+        for dirpath, dirnames, filenames in sorted(os.walk(root)):
+            dirnames.sort()
+            for fn in sorted(filenames):
+                if fn.endswith(".py"):
+                    p = os.path.join(dirpath, fn)
+                    h.update(fn.encode())
+                    with open(p, "rb") as f:
+                        h.update(f.read())
+        _SRC_FP = h.hexdigest()
+    return _SRC_FP
+
+
 def _aot_wrap(fn_jit, tag, key, n_dev):
     """Route a jitted program through a jax.export AOT disk cache.
 
@@ -110,7 +139,8 @@ def _aot_wrap(fn_jit, tag, key, n_dev):
                 pass  # already registered
             backend = jax.devices()[0].platform
             hk = hashlib.sha1(repr(
-                (key, tag, shapes, jax.__version__, backend)
+                (key, tag, shapes, jax.__version__, backend,
+                 _source_fingerprint())
             ).encode()).hexdigest()[:20]
             path = os.path.join(base, f"{tag}_{hk}.bin")
             exp = None

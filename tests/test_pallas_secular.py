@@ -194,19 +194,23 @@ def test_batch_fast_path_matches_vmap(batch, nnewton):
     assert np.abs(np.asarray(ux) - np.asarray(up)).max() < 5e-4
 
 
-def test_fused_illinois_matches_separate_launches(batch):
+@pytest.mark.parametrize("fhandoff", [False, True])
+def test_fused_illinois_matches_separate_launches(batch, fhandoff):
     """SurfConfig.fuse_illinois routes the nbisect Illinois iterations
     through ONE plain-body refine_lanes launch; the algorithm is the
     same as illinois_lanes' separate frozen launches (the MCMC sampler
-    exposes it via PYSURFINV_MCMC_FUSE_ILL).  Roots agree to the f32
-    Illinois noise floor rather than bitwise: the separate-launch path
-    seeds its secant with the bracket sweep's endpoint values (the
-    init-launch handoff, ops/dispersion._illinois) while the fused
-    kernel evaluates its own frozen-truncation endpoints — measured
-    worst-lane difference 7e-7 km/s."""
+    exposes it via PYSURFINV_MCMC_FUSE_ILL).  At the default
+    fhandoff=False both paths evaluate their own frozen-truncation
+    endpoints and the roots are BITWISE identical.  With fhandoff=True
+    the separate-launch path seeds its secant with the bracket sweep's
+    endpoint values while the fused kernel evaluates its own, so roots
+    agree only to the f32 Illinois noise floor (measured worst-lane
+    difference 7e-7 km/s; the tangent ratio amplifies that ~1000x
+    into u)."""
     h, vp, vs, rho, qsi, nlay = batch
     periods = jnp.asarray(np.array([10.0, 20.0, 40.0, 80.0], np.float32))
-    base = dict(nmodes=1, backend="pallas_interpret", coarse=4, nbisect=11)
+    base = dict(nmodes=1, backend="pallas_interpret", coarse=4,
+                nbisect=11, fhandoff=fhandoff)
     args = tuple(map(jnp.asarray, (h, vp, vs, rho, qsi)))
     outs = []
     for fuse in (False, True):
@@ -215,7 +219,11 @@ def test_fused_illinois_matches_separate_launches(batch):
                                        wave="rayleigh", cfg=cfg))
     (c0, u0, ok0), (c1, u1, ok1) = outs
     np.testing.assert_array_equal(np.asarray(ok0), np.asarray(ok1))
-    np.testing.assert_allclose(np.asarray(c0), np.asarray(c1), atol=1e-5)
-    # the tangent-ratio sensitivity amplifies a noise-floor root shift
-    # ~1000x into u (same effect bounds the bench's |du| tails)
-    np.testing.assert_allclose(np.asarray(u0), np.asarray(u1), atol=1e-3)
+    if fhandoff:
+        np.testing.assert_allclose(np.asarray(c0), np.asarray(c1),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(u0), np.asarray(u1),
+                                   atol=1e-3)
+    else:
+        np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
+        np.testing.assert_array_equal(np.asarray(u0), np.asarray(u1))
