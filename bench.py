@@ -173,10 +173,26 @@ def main():
     run_r = make_run("rayleigh")
     run_l = make_run("love")
 
-    def run_joint():  # BASELINE config 2: joint Rayleigh+Love forward
-        cr, okr = run_r()
-        cl, okl = run_l()
-        return cl, okr & okl
+    # BASELINE config 2: joint Rayleigh+Love forward.  The joint path
+    # uses calibrated cross-wave continuation (surf_forward_joint):
+    # Love cold, per-period median Love->Rayleigh offsets from a
+    # 512-model calibration subset, Rayleigh seeded through the fused
+    # warm sweep (window 8*dc).  Root parity vs independent solves
+    # gated by tests/test_joint_forward.py + the on-chip oracle ladder
+    # (scripts/ab_joint.py); misses fall back to the cold chain.
+    if os.environ.get("BENCH_JOINT_SEED", "1") == "1":
+        from pysurfinv_tpu.ops.dispersion import surf_forward_joint
+
+        def run_joint():
+            cr, ur, okr, cl, ul, okl = surf_forward_joint(
+                H, VP, VS, RHO, QSI, periods, NL, cfg=cfg,
+                cfg_love=cfg_love)
+            return cl, okr & okl
+    else:
+        def run_joint():
+            cr, okr = run_r()
+            cl, okl = run_l()
+            return cl, okr & okl
 
     t_r, ok_r = time_best(run_r)
     t_l, ok_l = time_best(run_l)

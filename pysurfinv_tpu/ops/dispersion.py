@@ -139,6 +139,16 @@ class SurfConfig(NamedTuple):
     #                           identical pre-handoff program (the unused
     #                           gather chain is XLA dead code).  Pallas
     #                           batched path only.
+    wseed_nscan: int = 0      # fused c_warm sweep window span (in dc);
+    #                           0 = use ``nscan``.  Lets a caller with a
+    #                           tightly-predicted seed (the cross-wave
+    #                           continuation of ``surf_forward_joint``)
+    #                           run a narrower warm window than the cold
+    #                           fallback chain's ``nscan`` without
+    #                           touching the fallback itself.
+    wseed_backoff: int = -1   # fused c_warm sweep backoff (in dc);
+    #                           -1 = use ``warm_backoff``.  Same purpose
+    #                           as ``wseed_nscan``.
     newton_sep: int = 0       # >0 replaces the refinement on the Pallas
     #                           batched path with this many SEPARATED
     #                           safeguarded-Newton iterations: each
@@ -162,7 +172,16 @@ class SurfConfig(NamedTuple):
     #                           path ignores it (it is the oracle path).
 
 
-def _secular_fn(wave: str):
+def _secular_fn(wave: str, assoc: bool = False):
+    if assoc:
+        from pysurfinv_tpu.ops.secular_assoc import (love_secular_assoc,
+                                                     rayleigh_secular_assoc)
+        if wave in ("rayleigh", "ray", "R"):
+            return lambda c, t, mdl, mm: rayleigh_secular_assoc(
+                c, t, *mdl, mm)
+        if wave in ("love", "lov", "L"):
+            return lambda c, t, mdl, mm: love_secular_assoc(
+                c, t, mdl[1], mdl[2], mdl[3], mm)
     if wave in ("rayleigh", "ray", "R"):
         return lambda c, t, mdl, mm: rayleigh_secular(c, t, *mdl, mm)
     if wave in ("love", "lov", "L"):
@@ -365,7 +384,7 @@ def surf_forward(h, vp, vs, rho, qsinv, periods, nlay,
     kind = 1 if wave in ("love", "lov", "L") else 2
     h_eff, fac = model_preamble(h, nlay, kind, cfg.flat)
 
-    F = _secular_fn(wave)
+    F = _secular_fn(wave, assoc=(cfg.backend == "xla_assoc"))
     nmodes = cfg.nmodes
     P = periods.shape[0]
     dc = cfg.dc
@@ -559,7 +578,7 @@ def surf_amplitude(h, vp, vs, rho, qsinv, periods, nlay,
 
 def _pallas_backend(cfg: SurfConfig):
     """Resolve cfg.backend to None (XLA) or an interpret flag (Pallas)."""
-    if cfg.backend == "xla":
+    if cfg.backend in ("xla", "xla_assoc"):
         return None
     if cfg.backend == "pallas":
         return False
@@ -847,9 +866,12 @@ def _surf_forward_batch_fast(h, vp, vs, rho, qsinv, periods, nlay,
         # small (measured on Cascadia chains: median 0.5*dc, p99
         # 2.7*dc, max 7.3*dc per evaluated step), so a backoff/nscan
         # window centred on the previous root almost always hits.
-        nprobe = max(cfg.nscan // cfg.coarse, 1)
+        w_nscan = cfg.wseed_nscan if cfg.wseed_nscan > 0 else cfg.nscan
+        w_back = (cfg.wseed_backoff if cfg.wseed_backoff >= 0
+                  else cfg.warm_backoff)
+        nprobe = max(w_nscan // cfg.coarse, 1)
         step_w = cfg.coarse * dc
-        starts_w = (c_warm.T - cfg.warm_backoff * dc).astype(dtype)  # (P,B)
+        starts_w = (c_warm.T - w_back * dc).astype(dtype)        # (P,B)
         ladder = step_w * jnp.arange(nprobe + 1, dtype=dtype)
         cs = (starts_w[:, None, :] + ladder[None, :, None]).reshape(-1, B)
         tt = jnp.broadcast_to(periods2.T[:, None, :],
@@ -1022,3 +1044,81 @@ def _surf_forward_batch_fast(h, vp, vs, rho, qsinv, periods, nlay,
     # (P*nmodes, B) -> (B, P, nmodes)
     reshape = lambda x: jnp.moveaxis(x.reshape(P, nmodes, B), 2, 0)  # noqa
     return reshape(c_out), reshape(u_out), reshape(ok_l)
+
+
+@partial(jax.jit, static_argnames=("cfg", "cfg_love", "nsub",
+                                   "wseed_nscan", "wseed_backoff"))
+def surf_forward_joint(h, vp, vs, rho, qsinv, periods, nlay,
+                       cfg: SurfConfig = SurfConfig(),
+                       cfg_love: SurfConfig | None = None,
+                       nsub: int = 512, wseed_nscan: int = 8,
+                       wseed_backoff: int = 4):
+    """Joint Rayleigh+Love curves with calibrated cross-wave continuation.
+
+    The reference computes both waves independently (``fast_surf.f:2-5``
+    returns uR, uL, cR, cL from one call but runs two full period
+    loops).  Here the joint solve exploits the tight empirical coupling
+    between the two fundamental branches of the SAME model: Love roots
+    sit a slowly-varying offset above Rayleigh roots (measured on the
+    bench family: cL - cR in [0.398, 0.469] km/s, per-period spread
+    ~+-0.01 around the family median).  The scheme:
+
+      1. solve Love cold (the cheaper 2x2 recursion);
+      2. cold-solve Rayleigh on a strided ``nsub``-model calibration
+         subset (~``nsub/B`` of a full solve) and take the per-period
+         MEDIAN offset ``offs(T) = median(cL - cR)`` over valid lanes;
+      3. solve Rayleigh for the full batch seeded at ``cL - offs(T)``
+         through the fused ``c_warm`` sweep with a ``wseed_nscan * dc``
+         window (backoff ``wseed_backoff * dc``).
+
+    Correctness does NOT depend on the calibration quality: lanes whose
+    window misses the root fall back to the full cold bracketing chain
+    (the ``c_warm`` contract), and the window sits well inside the
+    warm-sweep band validated root-adjacent by the MCMC warm-start
+    evidence (zero spurious brackets in 147k transitions at wider
+    windows, docs/PERF_NOTES.md).  Roots match the independent solves
+    to Illinois tolerance; gated by ``tests/test_joint_forward.py``
+    and the on-chip oracle ladder (``scripts/ab_joint.py``).
+
+    Returns ``(cR, uR, okR, cL, uL, okL)``, each ``(B, P, nmodes)``.
+    """
+    cfg_l = cfg_love if cfg_love is not None else cfg
+    interp = _pallas_backend(cfg)
+    if interp is None or cfg.nmodes != 1:
+        cR, uR, okR = surf_forward_batch(h, vp, vs, rho, qsinv, periods,
+                                         nlay, wave="rayleigh", cfg=cfg)
+        cL, uL, okL = surf_forward_batch(h, vp, vs, rho, qsinv, periods,
+                                         nlay, wave="love", cfg=cfg_l)
+        return cR, uR, okR, cL, uL, okL
+
+    cL, uL, okL = _surf_forward_batch_fast(h, vp, vs, rho, qsinv,
+                                           periods, nlay, "love", cfg_l,
+                                           interp)
+
+    B = h.shape[0]
+    ns = min(nsub, B)
+    stride = max(B // ns, 1)
+    sl = slice(0, stride * ns, stride)
+    per_sub = periods[sl] if periods.ndim == 2 else periods
+    # calibration solve: bracket-accuracy roots are plenty for a median
+    # offset (the seed window is +-wseed_nscan/2 dc wide), so trim the
+    # refinement and skip group velocity
+    cfg_sub = cfg._replace(compute_group=False, nbisect=3)
+    cRs, _, okRs = _surf_forward_batch_fast(
+        h[sl], vp[sl], vs[sl], rho[sl], qsinv[sl], per_sub, nlay[sl],
+        "rayleigh", cfg_sub, interp)
+    d = cL[sl][:, :, 0] - cRs[:, :, 0]                       # (ns, P)
+    valid = okL[sl][:, :, 0] & okRs[:, :, 0]
+    offs = jnp.nanmedian(jnp.where(valid, d, jnp.nan), axis=0)   # (P,)
+
+    # NaN offsets (no valid calibration lane at that period) poison the
+    # seed -> the sweep finds nothing -> full cold fallback.  Exactly
+    # the right failure semantics, and NaN-free for found lanes.
+    c_pred = jnp.where(okL[:, :, 0], cL[:, :, 0] - offs[None, :], 0.0)
+    cfg_seed = cfg._replace(wseed_nscan=wseed_nscan,
+                            wseed_backoff=wseed_backoff)
+    cR, uR, okR = _surf_forward_batch_fast(h, vp, vs, rho, qsinv,
+                                           periods, nlay, "rayleigh",
+                                           cfg_seed, interp,
+                                           c_warm=c_pred)
+    return cR, uR, okR, cL, uL, okL
