@@ -25,6 +25,7 @@ __version__ = "0.2.0"
 from pysurfinv_tpu.ops.dispersion import (  # noqa: F401
     surf_forward,
     surf_forward_batch,
+    surf_forward_joint,
     surf_ellipticity,
     surf_amplitude,
     SurfConfig,
@@ -58,6 +59,9 @@ def __getattr__(name):
         "sensitivity_kernels": "pysurfinv_tpu.ops.kernels",
         "eigenfunctions": "pysurfinv_tpu.ops.eigen",
         "eigenfunctions_regular": "pysurfinv_tpu.ops.eigen",
+        "mala_point": "pysurfinv_tpu.inversion.mala",
+        "adaptive_point": "pysurfinv_tpu.inversion.adaptive",
+        "AdaptConfig": "pysurfinv_tpu.inversion.adaptive",
     }
     if name in _lazy:
         import importlib

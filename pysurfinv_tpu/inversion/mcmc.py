@@ -201,12 +201,28 @@ def _propose_batched(keys, thetas, spec_b, ctx_b, isgood, cfg: ChainConfig,
         def body(s):
             r, found, cand, ks = s
             k = ks
-            props = []
-            for j in range(W):                  # unrolled key-chain walk
-                k2 = jax.vmap(jax.random.split)(k)
-                k, kj = k2[:, 0], k2[:, 1]
-                props.append(vdraw(r + j, kj, th, sp))
-            props = jnp.stack(props)            # (W, M, P)
+            if W <= 2:
+                props = []
+                for j in range(W):              # unrolled key-chain walk
+                    k2 = jax.vmap(jax.random.split)(k)
+                    k, kj = k2[:, 0], k2[:, 1]
+                    props.append(vdraw(r + j, kj, th, sp))
+                props = jnp.stack(props)        # (W, M, P)
+            else:
+                # identical key-chain walk as a lax.scan: the draw body
+                # traces ONCE instead of W times (at the compacted tail
+                # W reaches 64, and the unrolled walk dominated fresh-
+                # process host tracing of the segment program).  Values
+                # are bitwise identical — same ops, same order, scan
+                # stacks along axis 0 exactly like the Python loop
+                # (gated by tests/test_compiled_mcmc.py's width
+                # equivalence asserts).
+                def draw_j(kc, j):
+                    k2 = jax.vmap(jax.random.split)(kc)
+                    return k2[:, 0], vdraw(r + j, k2[:, 1], th, sp)
+
+                k, props = lax.scan(draw_j, k,
+                                    jnp.arange(W, dtype=jnp.int32))
             good = visgood(props.reshape(W * M, Pdim),
                            cxw).reshape(W, M)
             first = jnp.argmax(good, axis=0)    # first passing draw

@@ -149,6 +149,18 @@ class SurfConfig(NamedTuple):
     wseed_backoff: int = -1   # fused c_warm sweep backoff (in dc);
     #                           -1 = use ``warm_backoff``.  Same purpose
     #                           as ``wseed_nscan``.
+    wseed_coarse: int = 0     # fused c_warm sweep probe step (in dc);
+    #                           0 = use ``coarse``.  A coarse probe
+    #                           step is BLIND to narrow spurious
+    #                           sign-flip pairs (truncation-boundary
+    #                           artifacts flip and flip back inside one
+    #                           cell), which is why the MCMC warm
+    #                           window at coarse=8 never catches them
+    #                           while a dc-fine seeded sweep can —
+    #                           measured: the joint seed window at
+    #                           coarse=2 spanning [-6,+6]dc lands >1%
+    #                           of lanes ~6.5dc below the true root
+    #                           (scripts/ab_joint5.py round-5 ladder).
     newton_sep: int = 0       # >0 replaces the refinement on the Pallas
     #                           batched path with this many SEPARATED
     #                           safeguarded-Newton iterations: each
@@ -869,8 +881,9 @@ def _surf_forward_batch_fast(h, vp, vs, rho, qsinv, periods, nlay,
         w_nscan = cfg.wseed_nscan if cfg.wseed_nscan > 0 else cfg.nscan
         w_back = (cfg.wseed_backoff if cfg.wseed_backoff >= 0
                   else cfg.warm_backoff)
-        nprobe = max(w_nscan // cfg.coarse, 1)
-        step_w = cfg.coarse * dc
+        w_coarse = cfg.wseed_coarse if cfg.wseed_coarse > 0 else cfg.coarse
+        nprobe = max(w_nscan // w_coarse, 1)
+        step_w = w_coarse * dc
         starts_w = (c_warm.T - w_back * dc).astype(dtype)        # (P,B)
         ladder = step_w * jnp.arange(nprobe + 1, dtype=dtype)
         cs = (starts_w[:, None, :] + ladder[None, :, None]).reshape(-1, B)
@@ -930,8 +943,9 @@ def _surf_forward_batch_fast(h, vp, vs, rho, qsinv, periods, nlay,
     w_l = jnp.asarray([w for per in w_pm for w in per],
                       dtype).reshape(KL, 1)
     if from_warm is not None:
+        wc = cfg.wseed_coarse if cfg.wseed_coarse > 0 else cfg.coarse
         w_l = jnp.where(from_warm.reshape(KL, B),
-                        jnp.asarray(cfg.coarse * dc, dtype), w_l)
+                        jnp.asarray(wc * dc, dtype), w_l)
     hi_l = jnp.broadcast_to(lo_l + w_l, lo_l.shape)
 
     if cfg.newton_sep >= 1:
@@ -1047,12 +1061,13 @@ def _surf_forward_batch_fast(h, vp, vs, rho, qsinv, periods, nlay,
 
 
 @partial(jax.jit, static_argnames=("cfg", "cfg_love", "nsub",
-                                   "wseed_nscan", "wseed_backoff"))
+                                   "wseed_nscan", "wseed_backoff",
+                                   "wseed_coarse"))
 def surf_forward_joint(h, vp, vs, rho, qsinv, periods, nlay,
                        cfg: SurfConfig = SurfConfig(),
                        cfg_love: SurfConfig | None = None,
                        nsub: int = 512, wseed_nscan: int = 8,
-                       wseed_backoff: int = 4):
+                       wseed_backoff: int = 4, wseed_coarse: int = 0):
     """Joint Rayleigh+Love curves with calibrated cross-wave continuation.
 
     The reference computes both waves independently (``fast_surf.f:2-5``
@@ -1116,7 +1131,8 @@ def surf_forward_joint(h, vp, vs, rho, qsinv, periods, nlay,
     # the right failure semantics, and NaN-free for found lanes.
     c_pred = jnp.where(okL[:, :, 0], cL[:, :, 0] - offs[None, :], 0.0)
     cfg_seed = cfg._replace(wseed_nscan=wseed_nscan,
-                            wseed_backoff=wseed_backoff)
+                            wseed_backoff=wseed_backoff,
+                            wseed_coarse=wseed_coarse)
     cR, uR, okR = _surf_forward_batch_fast(h, vp, vs, rho, qsinv,
                                            periods, nlay, "rayleigh",
                                            cfg_seed, interp,

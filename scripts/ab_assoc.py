@@ -84,6 +84,16 @@ def main():
                                for i in range(5))
         NL = jnp.full((Bsz,), nlay, jnp.int32)
         for bk in ("xla", "xla_assoc", "pallas"):
+            if bk != "pallas" and Bsz > 4096:
+                # the vmapped XLA paths are latency references; at 65k
+                # models the tree path would materialise O(100 GB) of
+                # per-probe propagator tensors (B x K x L x 5 x 5) and
+                # the scan path runs minutes per window — the large-
+                # batch story is the Pallas column
+                print(f"solve B={Bsz:6d} {bk:10s} skipped "
+                      "(latency-reference backends, B<=4096)",
+                      flush=True)
+                continue
             try:
                 cfg = SurfConfig(nbisect=8, nscan_first=512, nscan=12,
                                  warm_backoff=4, coarse_first=16,

@@ -60,12 +60,13 @@ def main():
         l = run("love", cfg_l)
         return (l[0], r[2])
 
-    def seeded(ns, back, nsub=512):
+    def seeded(ns, back, nsub=512, coarse=0, nb=8):
         def fn():
             cr, ur, okr, cl, ul, okl = surf_forward_joint(
-                H, VP, VS, RHO, QSI, periods, NL, cfg=cfg_r,
+                H, VP, VS, RHO, QSI, periods, NL,
+                cfg=cfg_r if nb == 8 else cfg_r._replace(nbisect=nb),
                 cfg_love=cfg_l, nsub=nsub, wseed_nscan=ns,
-                wseed_backoff=back)
+                wseed_backoff=back, wseed_coarse=coarse)
             return (cl, okr)
         return fn
 
@@ -81,32 +82,39 @@ def main():
             best = min(best, (time.perf_counter() - t0) / args.iters)
         return best
 
+    VARIANTS = [
+        ("ns8b4c2", dict(ns=8, back=4)),
+        ("ns16b8c8", dict(ns=16, back=8, coarse=8)),
+        ("ns24b12c8", dict(ns=24, back=12, coarse=8)),
+        ("ns16b8c8nb9", dict(ns=16, back=8, coarse=8, nb=9)),
+    ]
     if args.accuracy:
         c_o, u_o, ok_o = (np.asarray(x[:, :, 0])
                           for x in run("rayleigh", cfg_o))
-        for ns, back in ((8, 4), (12, 6)):
+        for name, kw in VARIANTS:
             cr, ur, okr, cl, ul, okl = surf_forward_joint(
-                H, VP, VS, RHO, QSI, periods, NL, cfg=cfg_r,
-                cfg_love=cfg_l, nsub=512, wseed_nscan=ns,
-                wseed_backoff=back)
+                H, VP, VS, RHO, QSI, periods, NL,
+                cfg=(cfg_r if kw.get("nb", 8) == 8
+                     else cfg_r._replace(nbisect=kw["nb"])),
+                cfg_love=cfg_l, nsub=512, wseed_nscan=kw["ns"],
+                wseed_backoff=kw["back"],
+                wseed_coarse=kw.get("coarse", 0))
             c, u, ok = (np.asarray(x[:, :, 0]) for x in (cr, ur, okr))
             m = ok & ok_o
             dc = np.abs(c - c_o)[m]
             du = np.abs(u - u_o)[m]
-            print(f"seeded ns{ns}b{back} |dc| q99 "
+            print(f"seeded {name:12s} |dc| q99 "
                   f"{np.quantile(dc, .99):.2e} max {dc.max():.2e} "
                   f"|du| q99 {np.quantile(du, .99):.2e} max "
                   f"{du.max():.2e} ok {ok.mean():.5f} okmatch "
-                  f"{(ok == ok_o).mean():.6f}", flush=True)
+                  f"{(ok == ok_o).mean():.6f} "
+                  f"n|dc|>1e-4 {(np.abs(c - c_o) > 1e-4).sum()}",
+                  flush=True)
 
-    ladder = [
-        ("joint sep r8+l6", sep_joint),
-        ("seeded ns8 b4", seeded(8, 4)),
-        ("seeded ns12 b6", seeded(12, 6)),
-        ("seeded ns8 b4 s256", seeded(8, 4, nsub=256)),
-        ("joint sep r8+l6", sep_joint),
-        ("seeded ns8 b4", seeded(8, 4)),
-    ]
+    ladder = [("joint sep r8+l6", sep_joint)] + [
+        (f"seeded {name}", seeded(**kw)) for name, kw in VARIANTS
+    ] + [("joint sep r8+l6", sep_joint),
+         ("seeded ns8b4c2", seeded(8, 4))]
     for name, fn in ladder:
         t = timed(fn)
         print(f"{name:20s} {args.B / t:>12,.0f} solves/s "

@@ -46,16 +46,49 @@ run_tier() {
     rm -f "${log}"
 }
 
+# fullsplit: the full tier as SIX pytest processes with the persistent
+# compile cache ON.  Rationale (VERDICT r4 next #6): jaxlib 0.9.0's
+# XLA:CPU executable (de)serialization segfaults only under
+# accumulated-process load (~86th test of a single-process run, see
+# tests/conftest.py) — module-group-sized processes stay far below the
+# trigger, and the shared on-disk cache lets later groups load the
+# solver programs earlier groups compiled instead of recompiling them.
+run_fullsplit() {
+    local cache="/tmp/pysurfinv_ci_cache"
+    mkdir -p "${cache}"
+    local groups=(
+        "tests/test_api.py tests/test_quick_smoke.py tests/test_models.py tests/test_priors.py tests/test_decorations.py tests/test_geo.py"
+        "tests/test_dispersion_golden.py tests/test_warm_roots.py tests/test_secular_assoc.py tests/test_joint_forward.py"
+        "tests/test_pallas_secular.py tests/test_overtones.py"
+        "tests/test_eigen.py tests/test_eigen_water.py tests/test_kernels.py tests/test_kernel_golden.py tests/test_kernel_density_golden.py tests/test_kernel_modes.py"
+        "tests/test_compiled_mcmc.py tests/test_mala.py tests/test_adaptive.py tests/test_posterior_parity.py"
+        "tests/test_parallel_grid.py"
+    )
+    local i=0
+    for g in "${groups[@]}"; do
+        i=$((i + 1))
+        PYSURFINV_TEST_JIT_CACHE="${cache}" \
+            run_tier "fullsplit${i}" 2700 -q ${g}
+    done
+}
+
 case "${TIER}" in
     quick)   run_tier quick   600  -m quick -q ;;
     notslow) run_tier notslow 1800 -m "not slow" -q ;;
     full)    run_tier full    4500 -q ;;
+    fullsplit) run_fullsplit ;;
+    # nightly: the posterior-parity gate at 14v14 replicates (vs the
+    # committed 6v6), which moves the detectable coherent-drift scale
+    # from ~2-2.5 sigma down to ~1.5 sigma (power ~ sqrt(n)); hours on
+    # a 1-CPU host, so it is its own tier
+    nightly) PYSURFINV_PARITY_RUNN=2100 PYSURFINV_PARITY_CHAINL=300 \
+        run_tier nightly 14400 -q tests/test_posterior_parity.py ;;
     all)
         run_tier quick   600  -m quick -q
         run_tier notslow 1800 -m "not slow" -q
         run_tier full    4500 -q
         ;;
-    *) echo "unknown tier '${TIER}' (quick|notslow|full|all)"; exit 2 ;;
+    *) echo "unknown tier '${TIER}' (quick|notslow|full|fullsplit|nightly|all)"; exit 2 ;;
 esac
 
 exit ${FAILED}

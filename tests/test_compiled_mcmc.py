@@ -190,6 +190,20 @@ def test_propose_batched_equals_vmapped(point, cm):
     np.testing.assert_array_equal(np.asarray(ref_f), np.asarray(r2_f))
     np.testing.assert_array_equal(np.asarray(ref_c), np.asarray(r2_c))
 
+    # wide rounds (W > 2 routes the key-chain walk through lax.scan
+    # instead of the unrolled Python loop — the fresh-process tracing
+    # fix): still bit-identical to the sequential reference
+    os.environ["PYSURFINV_PROPOSE_FLAT"] = "512"
+    try:
+        w_c, w_f = jax.jit(
+            lambda k, t, s, c: _propose_batched(k, t, s, c, isgood, cfg,
+                                                min_stage=6))(
+            keys, th, spec_b, psi_b)
+    finally:
+        os.environ["PYSURFINV_PROPOSE_FLAT"] = "8"
+    np.testing.assert_array_equal(np.asarray(ref_f), np.asarray(w_f))
+    np.testing.assert_array_equal(np.asarray(ref_c), np.asarray(w_c))
+
 
 def test_host_mcinv_oracle(point, tmp_path):
     """The host-sequential Metropolis oracle writes a valid chain npz
