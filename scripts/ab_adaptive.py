@@ -67,17 +67,34 @@ def main():
                     chainL=args.chainL, seed=args.seed, verbose=False)
         return os.path.join(out, "rwm.npz")
 
+    from pysurfinv_tpu.inversion.adaptive import tuned_rwm_point
+
     measure("rwm", rwm)
-    for tag, acfg in (
-        ("am", AdaptConfig(chain_len=args.chainL)),
-        ("am-short", AdaptConfig(warmup1=192, warmup2=256, warmup3=192,
-                                 chain_len=args.chainL)),
-        ("am-acc35", AdaptConfig(target_acc=0.35,
-                                 chain_len=args.chainL)),
+    if os.environ.get("AB_AM_FULLCOV", "0") == "1":
+        # full-covariance AM: measured an honest NEGATIVE on chip
+        # (round 5: ESS/step +26% but ~44x step cost — the learned
+        # global proposals overrun the warm-start window every step,
+        # firing the cold bracket chain; docs/PERF_NOTES.md) — opt-in
+        for tag, acfg in (
+            ("am", AdaptConfig(chain_len=args.chainL)),
+            ("am-short", AdaptConfig(warmup1=192, warmup2=256,
+                                     warmup3=192,
+                                     chain_len=args.chainL)),
+            ("am-acc35", AdaptConfig(target_acc=0.35,
+                                     chain_len=args.chainL)),
+        ):
+            measure(tag, lambda out, a=acfg: adaptive_point(
+                pt, outdir=out, pid="am", runN=args.runN,
+                chainL=args.chainL, seed=args.seed, acfg=a,
+                verbose=True))
+    for tag, kw in (
+        ("trwm", {}),
+        ("trwm-a28", dict(target_acc=0.28)),
+        ("trwm-a18", dict(target_acc=0.18)),
     ):
-        measure(tag, lambda out, a=acfg: adaptive_point(
-            pt, outdir=out, pid="am", runN=args.runN,
-            chainL=args.chainL, seed=args.seed, acfg=a, verbose=True))
+        measure(tag, lambda out, kw=kw: tuned_rwm_point(
+            pt, outdir=out, pid="trwm", runN=args.runN,
+            chainL=args.chainL, seed=args.seed, verbose=True, **kw))
     measure("rwm", rwm)   # drift bracket
 
     print("\nlabel          wall_s  acc    ESS      ESS/s")
