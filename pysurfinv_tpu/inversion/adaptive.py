@@ -51,6 +51,9 @@ from pysurfinv_tpu.ops.dispersion import SurfConfig, surf_forward_batch
 # MALA finding).
 _FOLD_BASE = 1 << 20
 
+# tuned_rwm_point traced-program cache (see its body)
+_TRWM_PROGRAMS: dict = {}
+
 
 class AdaptConfig(NamedTuple):
     warmup1: int = 384        # diag proposals, scale adaptation
@@ -122,7 +125,15 @@ def make_adaptive_sampler(cm: CompiledModel, pcls, scfg: SurfConfig,
         in_b = jnp.all((prop >= spec_b.vmin) & (prop <= spec_b.vmax),
                        axis=-1)
         okp = in_b & jax.vmap(isgood, in_axes=(0, 0))(prop, ctx_b)
-        m1, chi1, L1, cP1 = eval_batch(prop, ctx_b, cw)
+        # prior/bounds-rejected proposals are rejected regardless of
+        # their likelihood — evaluate the forward at the CURRENT state
+        # there instead: the row's misfit is discarded by the
+        # true-chain reconstruction, and out-of-bounds parameter
+        # vectors would otherwise build unphysical models that knock
+        # the solver off its warm-start window (a measured 44x step
+        # cost in the round-5 full-covariance ladder)
+        prop_s = jnp.where(okp[:, None], prop, theta0)
+        m1, chi1, L1, cP1 = eval_batch(prop_s, ctx_b, cw)
         u = jax.vmap(lambda lk: jax.random.uniform(
             jax.random.fold_in(lk, fold + 1),
             dtype=theta0.dtype))(lane_keys)
@@ -248,9 +259,10 @@ def make_adaptive_sampler(cm: CompiledModel, pcls, scfg: SurfConfig,
 def tuned_rwm_point(point, outdir="MCtest_trwm", pid=None, runN=6000,
                     chainL=1000, seed=42, wave="rayleigh",
                     scfg: SurfConfig | None = None,
-                    target_acc: float = 0.234, std_steps: int = 384,
-                    rm_rounds: int = 6, rm_steps: int = 64,
-                    gamma: float = 0.6, verbose=False):
+                    target_acc: float = 0.15, std_steps: int = 128,
+                    rm_rounds: int = 4, rm_steps: int = 32,
+                    gamma: float = 0.6, warm_lanes: int = 48,
+                    verbose=False):
     """Auto-tuned random walk: the EXISTING RWM sampler with adapted
     per-component step sizes (VERDICT r4 #4 variant (a)).
 
@@ -270,9 +282,20 @@ def tuned_rwm_point(point, outdir="MCtest_trwm", pid=None, runN=6000,
          proposal scale proportional to posterior scale equalises
          per-component mixing, which directly lifts the
          min-over-components ESS);
-      2. global scale: ``rm_rounds`` Robbins-Monro rounds of
-         ``rm_steps`` steps adjust ``lambda`` toward ``target_acc``
-         (the d-dimensional RWM optimum 0.234).
+      2. global scale: one parallel ladder segment picks ``lambda``
+         by interpolating the measured acceptance curve at
+         ``target_acc``.  The default 0.15 (recorded acceptance lands
+         ~0.11) measured the best ESS/s on the fixture — BELOW the
+         textbook Gaussian-target optimum 0.234, because larger steps
+         hop between posterior modes (round-5 ladders,
+         docs/PERF_NOTES.md).
+
+    Warmup cost is SEQUENTIAL steps (lanes are free on the VPU), so
+    both phases run on ``warm_lanes`` parallel lanes regardless of
+    ``runN`` — 48 lanes x 128 steps pool ~3k posterior samples for
+    the stds and average the acceptance estimate over 1.5k proposals
+    per RM round, at the wall cost of only ~256 sequential steps
+    (~26% of a chainL=1000 recorded phase).
 
     Unlike the full-covariance AM above, the per-step cost is
     IDENTICAL to the production sampler (same programs, same
@@ -292,10 +315,16 @@ def tuned_rwm_point(point, outdir="MCtest_trwm", pid=None, runN=6000,
         spec1 = cm.spec_of(point.initMod)
         psi1 = cm.psi_of(point.initMod)
     n_chains = max(runN // chainL, 1)
-    rep = lambda x: jnp.repeat(jnp.asarray(x)[None], n_chains, 0)  # noqa
-    spec = BrownianSpec(*[rep(f) for f in spec1])
+    n_warm = max(n_chains, warm_lanes)
     T, c_obs, unc, m_obs = point._obs_arrays()
-    ctx = (rep(psi1), rep(T), rep(c_obs), rep(unc), rep(m_obs))
+
+    def make_batch(n):
+        rp = lambda x: jnp.repeat(jnp.asarray(x)[None], n, 0)  # noqa
+        return (BrownianSpec(*[rp(f) for f in spec1]),
+                (rp(psi1), rp(T), rp(c_obs), rp(unc), rp(m_obs)))
+
+    spec, ctx = make_batch(n_chains)
+    spec_w, ctx_w = make_batch(n_warm)
     misfit_from_c = type(point)._misfit_from_c
 
     def isgood(theta, ctx1):
@@ -315,27 +344,43 @@ def tuned_rwm_point(point, outdir="MCtest_trwm", pid=None, runN=6000,
         return m, chi, L, cP
 
     cfg = ChainConfig(chain_len=chainL)
-    init_fn, seg_fn = make_segmented_sampler(
-        isgood, chi_b, cfg,
-        aux_init=lambda spec_b, ctx_b: jnp.zeros_like(ctx_b[1]))
-    init_j = jax.jit(init_fn)
-    seg_j = {}
+    # traced-program cache across calls (host tracing of the segment
+    # program costs ~20 s on a 1-CPU host — without this, every
+    # tuned_rwm_point call re-traces and the warmup looks 40x more
+    # expensive than it is; same pattern as parallel.grid's
+    # _batched_programs)
+    from pysurfinv_tpu.parallel.grid import _structure_key
+    pkey = (_structure_key(cm), type(point).__qualname__, scfg, wave,
+            chainL, n_chains, bool(jax.config.jax_enable_x64))
+    progs = _TRWM_PROGRAMS.get(pkey)
+    if progs is None:
+        init_fn, seg_fn = make_segmented_sampler(
+            isgood, chi_b, cfg,
+            aux_init=lambda spec_b, ctx_b: jnp.zeros_like(ctx_b[1]))
+        progs = {"init": jax.jit(init_fn), "seg_fn": seg_fn, "seg": {}}
+        _TRWM_PROGRAMS[pkey] = progs
+        while len(_TRWM_PROGRAMS) > 8:
+            _TRWM_PROGRAMS.pop(next(iter(_TRWM_PROGRAMS)))
+    init_j = progs["init"]
+    seg_fn = progs["seg_fn"]
+    seg_j = progs["seg"]
 
-    def run_seg(carry, keys, sp, s0, n):
+    def run_seg(carry, keys, sp, cx, s0, n):
         if n not in seg_j:
             seg_j[n] = jax.jit(
-                lambda c, k, spb, cx, s0_, n=n: seg_fn(c, k, spb, cx,
-                                                       s0_, n))
-        return seg_j[n](carry, keys, sp, ctx, jnp.asarray(s0, jnp.int32))
+                lambda c, k, spb, cx_, s0_, n=n: seg_fn(c, k, spb, cx_,
+                                                        s0_, n))
+        return seg_j[n](carry, keys, sp, cx,
+                        jnp.asarray(s0, jnp.int32))
 
     key0 = jax.random.PRNGKey(seed)
     k_warm = jax.vmap(lambda i: jax.random.fold_in(
-        jax.random.fold_in(key0, 777), i))(jnp.arange(n_chains))
-    use_init = jnp.arange(n_chains) == 0
+        jax.random.fold_in(key0, 777), i))(jnp.arange(n_warm))
+    use_init_w = jnp.arange(n_warm) == 0
 
     # ---- phase 1: posterior stds with the reference steps ------------
-    carry = init_j(k_warm, spec, ctx, spec.theta0, use_init)
-    carry, rows = run_seg(carry, k_warm, spec, 0, std_steps)
+    carry = init_j(k_warm, spec_w, ctx_w, spec_w.theta0, use_init_w)
+    carry, rows = run_seg(carry, k_warm, spec_w, ctx_w, 0, std_steps)
     rows = np.asarray(rows)                    # (std_steps, N, 3+k)
     k = spec.theta0.shape[1]
     # true-chain states: rejected rows inherit the previous state
@@ -351,34 +396,104 @@ def tuned_rwm_point(point, outdir="MCtest_trwm", pid=None, runN=6000,
     # (brownian.py:7)
     half = 0.5 * (np.asarray(spec1.vmax) - np.asarray(spec1.vmin))
 
-    # ---- phase 2: Robbins-Monro on the global multiplier -------------
-    lam = float(np.median(np.asarray(spec1.step) / stds))
-    for j in range(rm_rounds):
-        step_try = np.minimum(lam * stds, half)
-        sp = spec._replace(step=rep(step_try.astype(
-            np.asarray(spec1.step).dtype)))
-        carry, rows = run_seg(carry, k_warm, sp,
-                              std_steps + j * rm_steps, rm_steps)
-        a = float(np.asarray(rows)[:, :, 2].mean())
-        lam *= float(np.exp(gamma * (a - target_acc)))
-    step_fin = np.minimum(lam * stds, half).astype(
-        np.asarray(spec1.step).dtype)
-    spec_t = spec._replace(step=rep(step_fin))
+    # ---- phase 2: parallel global-scale ladder ----------------------
+    # the proposal scale is per-LANE data, so a whole ladder of
+    # candidate global multipliers runs in ONE segment: lanes split
+    # into groups, each proposing at lambda_g * stds.  The probe runs
+    # through the SAME symmetric plain-Gaussian +
+    # bounds/prior-rejection kernel that the recorded phase uses (the
+    # make_adaptive_sampler step) — the reference's truncated+retry
+    # kernel reads systematically HIGHER acceptance at the same scale
+    # (its in-bounds retries never waste a proposal on the bounds), so
+    # probing with it mis-calibrates the pick (measured: target 0.234
+    # -> recorded 0.06).
+    dt = np.asarray(spec1.step).dtype
+    lam0 = float(np.median(np.asarray(spec1.step) / stds))
+    cand = lam0 * np.power(2.0, np.arange(-1.0, 5.0))     # 6 octaves
+    n_grp = len(cand)
+    lam_lane = np.asarray(cand)[np.arange(n_warm) % n_grp]
+
+    rec = _TRWM_PROGRAMS.get((pkey, "rec"))
+    if rec is None:
+        ai, aw, ar = make_adaptive_sampler(
+            cm, type(point), scfg, wave, AdaptConfig(chain_len=chainL))
+        _, _, ar_p = make_adaptive_sampler(
+            cm, type(point), scfg, wave,
+            AdaptConfig(chain_len=2 * rm_steps))
+        rec = {"init": jax.jit(ai), "run": jax.jit(ar),
+               "probe": jax.jit(ar_p)}
+        _TRWM_PROGRAMS[(pkey, "rec")] = rec
+
+    chol_w = jnp.asarray(np.diag(stds.astype(dt)))
+    scale_lane = jnp.asarray(lam_lane.astype(dt))[:, None]
+    # phase-1 carry layout (theta, m, chi, L, aux-cP) is exactly the
+    # adaptive carry (theta, m, chi, L, c_warm)
+    carry, rows = rec["probe"](carry, k_warm, spec_w, ctx_w, chol_w,
+                               scale_lane)
+    rows = np.asarray(rows)
+    rows = rows[1:]                 # drop the forced-accept init row
+    acc_r = rows[:, :, 2] > 0.5                 # (steps, N)
+    th_r = rows[:, :, 3:].copy()
+    for r in range(1, th_r.shape[0]):
+        stay = ~acc_r[r]
+        th_r[r][stay] = th_r[r - 1][stay]
+    jumps = ((np.diff(th_r, axis=0) / stds[None, None, :]) ** 2
+             ).sum(axis=2)                      # (steps-1, N)
+    esjd = np.array([jumps[:, np.arange(n_warm) % n_grp == g].mean()
+                     for g in range(n_grp)])
+    accs = np.array([acc_r[:, np.arange(n_warm) % n_grp == g].mean()
+                     for g in range(n_grp)])
+    # pick lambda by log-interpolating the measured (monotone-
+    # decreasing) acceptance curve at target_acc.  Raw ESJD is logged
+    # but NOT used as the objective: on this multi-modal bounded
+    # posterior it rises monotonically with lambda (rare huge accepted
+    # teleports dominate the mean square jump) and drives the pick to
+    # a degenerate ~2% acceptance (measured round 5); the acceptance
+    # band around 0.23-0.36 is where the measured chain ESS actually
+    # peaks (scripts/ab_adaptive.py ladders).
+    ll = np.log(cand)
+    if accs[0] <= target_acc:
+        lam = float(cand[0])
+    elif accs[-1] >= target_acc:
+        lam = float(cand[-1])
+    else:
+        lam = float(np.exp(np.interp(-target_acc, -accs, ll)))
+    step_fin = np.minimum(lam * stds, half).astype(dt)
+    rep_c = lambda x: jnp.repeat(jnp.asarray(x)[None], n_chains, 0)  # noqa
+    spec_t = spec._replace(step=rep_c(step_fin))
 
     # ---- phase 3: record runN rows with the frozen tuned steps -------
+    # The recorded phase runs SYMMETRIC plain-Gaussian proposals with
+    # bounds/prior rejection (the make_adaptive_sampler step with a
+    # diagonal Cholesky), NOT the reference's truncated-normal +
+    # retry-until-in-bounds kernel: the reference applies no
+    # Metropolis-Hastings correction for the truncation asymmetry,
+    # which is negligible at its small hand-tuned steps but grows with
+    # step size — recording tuned (larger) steps through the truncated
+    # kernel measurably SHIFTS the stationary distribution
+    # (round-5 comparator: theta-std z = 28 vs the device RWM
+    # posterior; pooled theta1 std 0.26 vs 0.066).  The symmetric
+    # kernel targets posterior x prior-indicator exactly at ANY step
+    # size, so the tuned chains stay parity-comparable.
     lane_keys = jax.vmap(lambda i: jax.random.fold_in(key0, i))(
         jnp.arange(n_chains))
-    carry = init_j(lane_keys, spec_t, ctx, spec_t.theta0, use_init)
-    carry, rows = run_seg(carry, lane_keys, spec_t, 0, chainL)
+    use_init = jnp.arange(n_chains) == 0
+    chol_d = jnp.asarray(np.diag(step_fin))
+    carry = rec["init"](lane_keys, spec_t, ctx, spec_t.theta0, use_init)
+    carry, rows = rec["run"](carry, lane_keys, spec_t, ctx, chol_d,
+                             jnp.asarray(1.0, dtype=spec_t.theta0.dtype))
     rows = np.asarray(rows)
     track = np.moveaxis(rows, 0, 1).reshape(-1, rows.shape[-1])
     pid = pid or point.pid
     point._save_npz(outdir, pid, track, chainL)
     if verbose:
+        lad = ", ".join(f"{c:.2f}:a{a:.2f}/j{e:.2f}"
+                        for c, a, e in zip(cand, accs, esjd))
         print(f"tuned_rwm_point: {n_chains} x {chainL} "
-              f"(+{std_steps + rm_rounds * rm_steps} warmup) in "
-              f"{time.time() - t0:.1f}s, acceptance "
-              f"{track[:, 2].mean():.3f}, lambda {lam:.3f}")
+              f"(+{std_steps + 2 * rm_steps} warmup @ {n_warm} lanes) "
+              f"in {time.time() - t0:.1f}s, acceptance "
+              f"{track[:, 2].mean():.3f}, lambda {lam:.3f} "
+              f"[ladder {lad}]")
     return os.path.join(outdir, f"{pid}.npz")
 
 

@@ -413,14 +413,21 @@ def surf_forward(h, vp, vs, rho, qsinv, periods, nlay,
                 # overtones never start below the previous mode's root
                 # (calcul.f:145-151, 199); coarse sweeps are reserved for
                 # the fundamental — overtones can osculate (< coarse*dc
-                # apart, e.g. TEST1 R/L mode 1 at T = 20 s)
-                start = jnp.maximum(start, root_est + 0.01 * dc)
+                # apart, e.g. TEST1 R/L mode 1 at T = 20 s).  The margin
+                # above the estimate must clear the estimator's downside
+                # error or the next mode's sweep re-brackets the SAME
+                # root (measured: eus T=7 s R mode 4 duplicated mode 3,
+                # shifting every later mode) — 12 Illinois iterations
+                # put the estimate within ~1e-4 dc of the root, and the
+                # 0.1 dc margin is far above that yet below any
+                # dc-resolvable mode separation.
+                start = jnp.maximum(start, root_est + 0.1 * dc)
             c_lo, found, mm = _bracket(F, start, t, mdl, nlay, cfg, nscan,
                                        coarse0 if iq == 0 else 1)
             if iq < nmodes - 1:
-                # cheap root estimate anchoring the next overtone's start
+                # root estimate anchoring the next overtone's start
                 root_est = _illinois(lambda c: F(c, t, mdl, mm),
-                                     c_lo, c_lo + dc, 6)
+                                     c_lo, c_lo + dc, 12)
             c_los.append(c_lo)
             mms.append(mm)
             founds.append(found)
@@ -761,7 +768,10 @@ def _surf_forward_batch_fast(h, vp, vs, rho, qsinv, periods, nlay,
         for iq in range(nmodes):
             start = starts[iq]
             if iq > 0:
-                start = jnp.maximum(start, root_est + 0.01 * dc)
+                # 0.1 dc margin over a 12-iteration estimate — see the
+                # XLA bracket_period above for the measured failure
+                # mode this guards against
+                start = jnp.maximum(start, root_est + 0.1 * dc)
             if iq == 0 and coarse0 > 1:
                 k = max(nscan // coarse0, 1)
                 c_lo, found, mm, flo, fhi = sweep(start, t, k,
@@ -778,8 +788,8 @@ def _surf_forward_batch_fast(h, vp, vs, rho, qsinv, periods, nlay,
                 width = dc
             if iq < nmodes - 1:
                 root_est = illinois_lanes(
-                    t[None], c_lo[None], c_lo[None] + width, mm[None], 6,
-                    f_lo=flo[None], f_hi=fhi[None])[0]
+                    t[None], c_lo[None], c_lo[None] + width, mm[None],
+                    12, f_lo=flo[None], f_hi=fhi[None])[0]
             c_los.append(c_lo)
             mms.append(mm)
             founds.append(found)

@@ -89,8 +89,8 @@ def main():
                 verbose=True))
     for tag, kw in (
         ("trwm", {}),
-        ("trwm-a28", dict(target_acc=0.28)),
-        ("trwm-a18", dict(target_acc=0.18)),
+        ("trwm-a35", dict(target_acc=0.35)),
+        ("trwm-a15", dict(target_acc=0.15)),
     ):
         measure(tag, lambda out, kw=kw: tuned_rwm_point(
             pt, outdir=out, pid="trwm", runN=args.runN,

@@ -99,6 +99,27 @@ def test_adaptive_covariance_is_learned():
     #                    near-diagonal; full runs are gated by ESS A/B
 
 
+def test_tuned_rwm_mechanics(tmp_path):
+    """tuned_rwm_point: warmup phases run, steps freeze, the recorded
+    chains follow the reference npz format, and the tuned steps stay
+    within the half-range cap."""
+    from pysurfinv_tpu.inversion.adaptive import tuned_rwm_point
+
+    pt = _point()
+    path = tuned_rwm_point(pt, outdir=str(tmp_path), pid="t", runN=64,
+                           chainL=32, seed=3, std_steps=8, rm_steps=4,
+                           warm_lanes=6, verbose=True)
+    d = np.load(path, allow_pickle=True)
+    tr = d["mcTrack"]
+    assert tr.shape[0] == 64
+    assert np.isfinite(tr).all()
+    assert tr[0, 2] == 1 and tr[32, 2] == 1
+    assert np.unique(np.round(tr[:, 0], 6)).size > 3
+    from pysurfinv_tpu.inversion.point import PostPoint
+    pp = PostPoint(path)
+    assert np.isfinite(pp.misfits).any()
+
+
 @pytest.mark.skipif(os.environ.get("PYSURFINV_AM_PARITY") != "1",
                     reason="hours of host-oracle sampling; run "
                            "explicitly with PYSURFINV_AM_PARITY=1 "

@@ -194,6 +194,31 @@ def test_batch_fast_path_matches_vmap(batch, nnewton):
     assert np.abs(np.asarray(ux) - np.asarray(up)).max() < 5e-4
 
 
+def test_batch_fast_path_multimode_matches_vmap(batch):
+    """Fused-path overtone chain == vmapped XLA (modes 0-3).
+
+    The XLA mode chain is pinned against a dense-scan oracle
+    (tests/test_overtones.py); this closes the loop for the fused
+    path's own per-mode start margins (root_est + 0.1 dc over a
+    12-iteration estimate — the round-5 duplicate-mode guard)."""
+    h, vp, vs, rho, qsi, nlay = batch
+    periods = jnp.asarray(np.array([10.0, 15.0], np.float32))
+    kw = dict(nmodes=4, compute_group=False)
+    args = tuple(map(jnp.asarray, (h, vp, vs, rho, qsi)))
+    cx, _, okx = surf_forward_batch(*args, periods, jnp.asarray(nlay),
+                                    wave="rayleigh",
+                                    cfg=SurfConfig(backend="xla", **kw))
+    cp, _, okp = surf_forward_batch(
+        *args, periods, jnp.asarray(nlay), wave="rayleigh",
+        cfg=SurfConfig(backend="pallas_interpret", **kw))
+    np.testing.assert_array_equal(np.asarray(okx), np.asarray(okp))
+    assert np.asarray(okx).all()
+    assert np.abs(np.asarray(cx) - np.asarray(cp)).max() < 5e-5
+    # strictly increasing mode ordering (no duplicated brackets)
+    c = np.asarray(cp)
+    assert (np.diff(c, axis=2) > 0).all()
+
+
 @pytest.mark.parametrize("fhandoff", [False, True])
 def test_fused_illinois_matches_separate_launches(batch, fhandoff):
     """SurfConfig.fuse_illinois routes the nbisect Illinois iterations
