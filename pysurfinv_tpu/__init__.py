@@ -61,6 +61,7 @@ def __getattr__(name):
         "eigenfunctions_regular": "pysurfinv_tpu.ops.eigen",
         "mala_point": "pysurfinv_tpu.inversion.mala",
         "adaptive_point": "pysurfinv_tpu.inversion.adaptive",
+        "tuned_rwm_point": "pysurfinv_tpu.inversion.adaptive",
         "AdaptConfig": "pysurfinv_tpu.inversion.adaptive",
     }
     if name in _lazy:

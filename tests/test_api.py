@@ -15,7 +15,9 @@ def test_lazy_exports_resolve():
                  "Model3D", "Model1D_Exchange", "Model3D_Exchange",
                  "SensKernel", "SensKernelPert", "sensitivity_kernels",
                  "eigenfunctions", "surf_forward", "surf_forward_batch",
-                 "surf_ellipticity", "SurfConfig"):
+                 "surf_ellipticity", "SurfConfig",
+                 "surf_forward_joint", "mala_point", "adaptive_point",
+                 "tuned_rwm_point", "AdaptConfig"):
         assert getattr(p, name) is not None
     with pytest.raises(AttributeError):
         p.definitely_not_a_symbol
