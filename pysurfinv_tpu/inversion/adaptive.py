@@ -263,6 +263,9 @@ def tuned_rwm_point(point, outdir="MCtest_trwm", pid=None, runN=6000,
                     rm_rounds: int = 4, rm_steps: int = 32,
                     gamma: float = 0.6, warm_lanes: int = 48,
                     verbose=False):
+    # rm_rounds/gamma are retained for call compatibility with the
+    # earlier sequential Robbins-Monro tuner; the shipped tuner is the
+    # single parallel ladder segment (2*rm_steps long) below.
     """Auto-tuned random walk: the EXISTING RWM sampler with adapted
     per-component step sizes (VERDICT r4 #4 variant (a)).
 

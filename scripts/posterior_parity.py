@@ -120,6 +120,19 @@ def main():
     ap.add_argument("--skip-device", action="store_true")
     args = ap.parse_args()
 
+    if args.skip_host and not args.skip_device:
+        pass
+    elif args.skip_device or args.compare_only:
+        # Host-only (or compare-only) runs must pin JAX to the LOCAL
+        # CPU: the session's axon TPU plugin overrides the
+        # JAX_PLATFORMS=cpu env var, and the fast host prior's jit then
+        # silently dispatches to the tunnelled chip — ~27 ms round trip
+        # per isgood call turned a ~100-minute host seed into >5 hours
+        # (measured round 5).  testing.force_cpu is the one switch the
+        # plugin respects.
+        from pysurfinv_tpu.testing import force_cpu
+        force_cpu(1)
+
     point = build_point()
     host_dir = args.host_dir or os.path.join(args.out, "host")
     device_dir = args.device_dir or os.path.join(args.out, "device")
