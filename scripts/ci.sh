@@ -56,15 +56,17 @@ run_tier() {
 #
 # Round-5 measurement (cold cache, 1-CPU host, run CONCURRENTLY with a
 # full-power parity host run — treat wall times as upper bounds):
-# groups 1/3/4 passed in 86 s / 819 s / 1390 s (80+21+48 tests);
-# groups 2/5 hit the per-group timeout under that congestion with every
-# completed test passing (group 2 additionally lost ~20 min of its
-# wall budget to an operator SIGSTOP).  Crucially: ZERO segfaults
-# across ~170 cache-enabled tests — the historical (de)serialization
-# crash class did not reproduce in module-group-sized processes, which
-# is the unblock evidence this tier exists for.  A clean quiet-host
-# cold run remains to be recorded; warm-cache repeats load the big
-# solver programs from disk instead of recompiling.
+# groups 1/3/4/6 passed in 86 s / 819 s / 1390 s / 1966 s
+# (80+21+48+14 tests — group 6 is test_parallel_grid, the module the
+# historical single-process crash reproduced in); groups 2/5 hit the
+# per-group timeout under that congestion with every completed test
+# passing (group 2 additionally lost ~20 min of its wall budget to an
+# operator SIGSTOP).  Crucially: ZERO segfaults across ~180
+# cache-enabled tests — the (de)serialization crash class did not
+# reproduce in module-group-sized processes, which is the unblock
+# evidence this tier exists for.  A clean quiet-host cold run remains
+# to be recorded; warm-cache repeats load the big solver programs
+# from disk instead of recompiling.
 run_fullsplit() {
     local cache="/tmp/pysurfinv_ci_cache"
     mkdir -p "${cache}"
